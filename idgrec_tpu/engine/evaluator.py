@@ -1,0 +1,172 @@
+"""Full-catalog top-K evaluation, fully on device.
+
+Reference behavior (utility/utility_train/batch_test.py): batch test
+users, score the whole catalog, mask train positives, take top-K, and
+compute Recall/Precision/NDCG sums normalized by the number of test
+users (batch_test.py:37-93). Differences by design:
+
+* the model representation is computed ONCE per sweep, not once per
+  user batch (fixes the reference inefficiency at batch_test.py:59);
+* train positives are masked with a large negative value *below any
+  possible score* instead of the literal ``-1`` the reference writes
+  after sigmoid (batch_test.py:65) — equivalent for sigmoid scores,
+  and correct for raw-logit models like CVGA where ``-1`` is unsound;
+* the entire sweep (scoring, masking, top-k, metric sums) is one
+  jitted `lax.scan`; only the final per-k metric vector returns to the
+  host.
+
+Early stopping mirrors general_test (batch_test.py:8-34): best
+Recall@topK[0], patience `early_stopping` evaluations.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from idgrec_tpu.config import Config
+from idgrec_tpu.data.dataset import Dataset
+from idgrec_tpu.models.base import RecModel
+from idgrec_tpu.ops.metrics import topk_metric_sums
+
+_MASK_VALUE = -1e9
+
+
+@dataclass
+class EvalPlan:
+    """Precomputed, device-resident user batches for one test split."""
+
+    users: jnp.ndarray  # [nb, B] int32
+    valid: jnp.ndarray  # [nb, B] bool
+    truth: jnp.ndarray  # [nb, B, T] int32, -1 padded
+    excl_rows: jnp.ndarray  # [nb, P] int32 local batch row
+    excl_cols: jnp.ndarray  # [nb, P] int32 item col (num_items = dropped)
+    num_test_users: int
+
+
+def build_eval_plan(
+    data: Dataset, batch_size: int, users: list[int] | None = None
+) -> EvalPlan:
+    test_users = np.asarray(
+        sorted(data.test_dict.keys()) if users is None else users, dtype=np.int64
+    )
+    n = test_users.size
+    nb = max(1, -(-n // batch_size))
+    padded = nb * batch_size
+
+    users_pad = np.zeros(padded, dtype=np.int32)
+    users_pad[:n] = test_users
+    valid = np.zeros(padded, dtype=bool)
+    valid[:n] = True
+
+    truth_flat = data.padded_test_truth(users_pad)
+    # zero out ground truth of padding rows so sizes are 0 there
+    truth_flat[~valid] = -1
+    t_width = truth_flat.shape[1]
+
+    # per-batch flat exclusion lists (train positives of batch users)
+    degrees = np.diff(data.row_ptr)
+    batch_users = users_pad.reshape(nb, batch_size)
+    batch_valid = valid.reshape(nb, batch_size)
+    p_width = 0
+    for b in range(nb):
+        deg_sum = int(degrees[batch_users[b]][batch_valid[b]].sum())
+        p_width = max(p_width, deg_sum)
+    p_width = max(p_width, 1)
+
+    excl_rows = np.zeros((nb, p_width), dtype=np.int32)
+    excl_cols = np.full((nb, p_width), data.num_items, dtype=np.int32)
+    for b in range(nb):
+        offset = 0
+        for r, u in enumerate(batch_users[b]):
+            if not batch_valid[b, r]:
+                continue
+            pos = data.positive_items(int(u))
+            excl_rows[b, offset : offset + pos.size] = r
+            excl_cols[b, offset : offset + pos.size] = pos
+            offset += pos.size
+
+    return EvalPlan(
+        users=jnp.asarray(batch_users),
+        valid=jnp.asarray(batch_valid),
+        truth=jnp.asarray(truth_flat.reshape(nb, batch_size, t_width)),
+        excl_rows=jnp.asarray(excl_rows),
+        excl_cols=jnp.asarray(excl_cols),
+        num_test_users=int(n),
+    )
+
+
+class Evaluator:
+    """Jitted full-catalog evaluator for one model/dataset pair."""
+
+    def __init__(self, model: RecModel, data: Dataset, config: Config):
+        self.model = model
+        self.data = data
+        self.top_ks = tuple(config.int_list("top_K"))
+        self.max_k = max(self.top_ks)
+        batch_size = config.int("test_batch_size")
+        self.plan = build_eval_plan(data, batch_size)
+        self._sweep = jax.jit(self._sweep_impl)
+
+    def _sweep_impl(self, params, state, ctx, rng, users, valid, truth, excl_rows, excl_cols):
+        eval_repr = self.model.eval_embeddings(params, state, ctx, rng)
+
+        def one_batch(sums, batch):
+            b_users, b_valid, b_truth, b_rows, b_cols = batch
+            ratings = self.model.score_batch(eval_repr, b_users)
+            ratings = ratings.astype(jnp.float32)
+            # mask train positives below any reachable score
+            ratings = ratings.at[b_rows, b_cols].set(_MASK_VALUE, mode="drop")
+            _, topk_idx = jax.lax.top_k(ratings, self.max_k)
+            m = topk_metric_sums(topk_idx, b_truth, self.top_ks, valid=b_valid)
+            sums = jax.tree.map(lambda a, b: a + b, sums, m)
+            return sums, None
+
+        zero = {
+            "recall": jnp.zeros(len(self.top_ks), jnp.float32),
+            "precision": jnp.zeros(len(self.top_ks), jnp.float32),
+            "ndcg": jnp.zeros(len(self.top_ks), jnp.float32),
+            "count": jnp.asarray(0.0, jnp.float32),
+        }
+        sums, _ = jax.lax.scan(
+            one_batch, zero, (users, valid, truth, excl_rows, excl_cols)
+        )
+        return sums
+
+    def evaluate(self, params, state, ctx, rng) -> dict[str, np.ndarray]:
+        p = self.plan
+        sums = self._sweep(
+            params, state, ctx, rng, p.users, p.valid, p.truth, p.excl_rows, p.excl_cols
+        )
+        n = float(p.num_test_users)
+        return {
+            "recall": np.asarray(sums["recall"]) / n,
+            "precision": np.asarray(sums["precision"]) / n,
+            "ndcg": np.asarray(sums["ndcg"]) / n,
+        }
+
+
+@dataclass
+class BestResults:
+    """Early-stopping bookkeeping (batch_test.py:8-34)."""
+
+    patience: int
+    count: int = 0
+    epoch: int = 0
+    recall: np.ndarray | None = None
+    ndcg: np.ndarray | None = None
+    stop: bool = False
+
+    def update(self, result: dict[str, np.ndarray], epoch: int) -> None:
+        if self.recall is None or result["recall"][0] > self.recall[0]:
+            self.count = 0
+            self.epoch = epoch + 1
+            self.recall = result["recall"].copy()
+            self.ndcg = result["ndcg"].copy()
+        else:
+            self.count += 1
+            if self.count >= self.patience:
+                self.stop = True

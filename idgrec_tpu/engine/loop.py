@@ -1,0 +1,156 @@
+"""The universal training loop.
+
+Orchestrates: per-epoch on-device sampling -> jitted epoch scan ->
+interval evaluation -> early stopping -> logging, with the same
+observable behavior as the reference `universal_trainer`
+(utility/utility_train/trainer.py:8-74) and the custom trainer variants:
+
+* SGL evaluates on interval but never early-stops, and runs a final
+  evaluation after the last epoch (models/SGL.py:188-197) —
+  models opt out via ``respects_early_stop = False``;
+* NCL runs its E-step from epoch 20 (models/NCL.py:174-178) via
+  `epoch_context`;
+* CVGA batches over user rows (models/CVGA.py:101-150) via the
+  ``user_rows`` batching mode.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from idgrec_tpu.config import Config, load_model_config
+from idgrec_tpu.data.dataset import Dataset
+from idgrec_tpu.engine.evaluator import BestResults, Evaluator
+from idgrec_tpu.engine.logging_utils import RunLogger, loss_string
+from idgrec_tpu.engine.sampler import NegativeSampler
+from idgrec_tpu.engine.trainer import EpochRunner
+from idgrec_tpu.models import get_model
+from idgrec_tpu.models.base import RecModel
+
+
+@dataclass
+class TrainResult:
+    params: Any
+    state: Any
+    best: BestResults
+    history: list[dict] = field(default_factory=list)
+    last_result: dict | None = None
+
+
+def train_model(
+    model_name: str,
+    data: Dataset,
+    config: Config | None = None,
+    seed: int | None = None,
+    log_dir: str | None = "log",
+    echo: bool = True,
+    max_epochs: int | None = None,
+) -> TrainResult:
+    config = config or load_model_config(model_name)
+    seed = seed if seed is not None else config.int("seed")
+
+    model_cls = get_model(model_name)
+    model: RecModel = model_cls(config, data)
+    model.device_put()
+
+    logger = RunLogger(model_name, data.name, log_dir, echo=echo)
+    logger.info(f"Run with {model_name} on {data.name}")
+    logger.info(data.get_statistics())
+    for key, value in config.items():
+        logger.info(f"{key} : {value}")
+
+    rng = jax.random.PRNGKey(seed)
+    np_rng = np.random.default_rng(seed)
+    rng, p_rng, s_rng = jax.random.split(rng, 3)
+    params = model.init_params(p_rng)
+    state = model.init_state(s_rng)
+
+    batching = getattr(model, "batching", "bpr_triples")
+    runner = EpochRunner(
+        model,
+        learn_rate=config.float("learn_rate"),
+        batch_size=config.int("batch_size"),
+        num_train=data.num_train if batching == "bpr_triples" else data.num_users,
+    )
+    opt_state = runner.init_opt_state(params)
+    sampler = NegativeSampler(data) if batching == "bpr_triples" else None
+    evaluator = Evaluator(model, data, config)
+    best = BestResults(patience=config.int("early_stopping"))
+
+    epochs = max_epochs if max_epochs is not None else config.int("training_epochs")
+    interval = config.int("interval")
+    num_batch_norm = runner.num_train // runner.batch_size + 1  # trainer.py:36 parity
+    respects_early_stop = getattr(model, "respects_early_stop", True)
+
+    history: list[dict] = []
+    last_result: dict | None = None
+
+    for epoch in range(epochs):
+        start = time.time()
+        ctx = model.epoch_context(params, state, epoch, np_rng)
+        ctx = jax.device_put(ctx)
+
+        rng, sample_key, epoch_key = jax.random.split(rng, 3)
+        if batching == "bpr_triples":
+            users, pos, neg = sampler.sample_epoch(sample_key)
+        else:  # user_rows: shuffled user ids; model densifies rows itself
+            users = jax.random.permutation(
+                sample_key, jnp.arange(data.num_users, dtype=jnp.int32)
+            )
+            pos = users
+            neg = users
+        params, opt_state, state, term_sums = runner.run_epoch(
+            params, opt_state, state, ctx, users, pos, neg, epoch_key, epoch
+        )
+        term_sums = jax.device_get(term_sums)
+        elapsed = time.time() - start
+
+        loss_strs = loss_string(term_sums, num_batch_norm)
+        logger.info(
+            "Epoch: %4d | Training time: %.3f | training loss: %s"
+            % (epoch + 1, elapsed, loss_strs)
+        )
+        logger.event(
+            kind="train_epoch", epoch=epoch + 1, seconds=elapsed,
+            loss_terms=[float(t) / num_batch_norm for t in term_sums],
+        )
+        history.append({"epoch": epoch + 1, "train_time": elapsed, "loss": loss_strs})
+
+        if epoch % interval == 0:
+            rng, eval_key = jax.random.split(rng)
+            result = last_result = evaluator.evaluate(params, state, ctx, eval_key)
+            best.update(result, epoch)
+            logger.info(
+                "Epoch: %4d | Test recall: %s | Test NDCG: %s"
+                % (epoch + 1, result["recall"], result["ndcg"])
+            )
+            logger.event(
+                kind="eval", epoch=epoch + 1,
+                recall=result["recall"], ndcg=result["ndcg"],
+                precision=result["precision"],
+            )
+            if best.stop and respects_early_stop:
+                logger.info("Early stop......")
+                break
+
+    if not respects_early_stop:
+        # SGL-style final evaluation after the last epoch (SGL.py:196)
+        rng, eval_key = jax.random.split(rng)
+        ctx = jax.device_put(model.epoch_context(params, state, epochs, np_rng))
+        result = last_result = evaluator.evaluate(params, state, ctx, eval_key)
+        best.update(result, epochs - 1)
+
+    logger.info("Model training process completed.")
+    logger.info(
+        "Best epoch: %4d | Best recall: %s | Best NDCG: %s"
+        % (best.epoch, best.recall, best.ndcg)
+    )
+    logger.event(kind="best", epoch=best.epoch, recall=best.recall, ndcg=best.ndcg)
+    logger.close()
+    return TrainResult(params=params, state=state, best=best, history=history, last_result=last_result)
