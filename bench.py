@@ -1,0 +1,130 @@
+"""Benchmark: LightGCN training throughput at yelp2018 scale.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "pairs/s", "vs_baseline": N}
+
+Baseline: the reference's only committed throughput number — EGCF on
+yelp2018, 1,237,259 BPR triples per ~17.5 s epoch on the authors' GPU
+=> ~70.7k pairs/s (BASELINE.md, log/EGCF/yelp2018.log). The reference
+snapshot ships no train.txt for its datasets (.MISSING_LARGE_BLOBS),
+so the benchmark runs on a synthetic dataset at exactly yelp2018 scale
+(31,668 users / 38,048 items / 1,237,259 train interactions) with a
+Zipf-like popularity skew.
+
+Measured work per epoch (LightGCN, 3 layers, d=64, B=2048): on-device
+negative sampling + shuffle, ~604 steps of full-graph propagation
+(3 SpMM fwd + backward) and Adam, i.e. the same per-epoch semantics as
+the reference trainer. Eval time is reported separately on stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+BASELINE_PAIRS_PER_SEC = 70_700.0  # BASELINE.md derived throughput
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true", help="small scale smoke run")
+    parser.add_argument("--epochs", type=int, default=3, help="timed epochs")
+    parser.add_argument("--batch-size", type=int, default=2048)
+    parser.add_argument("--layers", type=int, default=3)
+    parser.add_argument("--emb", type=int, default=64)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from idgrec_tpu.config import Config
+    from idgrec_tpu.data.dataset import make_synthetic_dataset
+    from idgrec_tpu.engine.evaluator import Evaluator
+    from idgrec_tpu.engine.sampler import NegativeSampler
+    from idgrec_tpu.engine.trainer import EpochRunner
+    from idgrec_tpu.models import get_model
+
+    log(f"devices: {jax.devices()}")
+
+    if args.quick:
+        num_users, num_items, num_train, num_test = 2000, 3000, 60_000, 10_000
+    else:  # yelp2018 scale (BASELINE.md)
+        num_users, num_items, num_train, num_test = 31_668, 38_048, 1_237_259, 324_147
+
+    t0 = time.time()
+    data = make_synthetic_dataset(num_users, num_items, num_train, num_test, seed=0,
+                                  name="yelp2018-scale")
+    log(f"dataset built in {time.time()-t0:.1f}s: {data.get_statistics()}")
+
+    cfg = Config({
+        "dataset": data.name,
+        "top_K": "[10, 20]",
+        "embedding_size": str(args.emb),
+        "batch_size": str(args.batch_size),
+        "test_batch_size": "2048",
+        "learn_rate": "0.001",
+        "reg_lambda": "0.0001",
+        "GCN_layer": str(args.layers),
+    })
+
+    model = get_model("LightGCN")(cfg, data)
+    model.device_put()
+    rng = jax.random.PRNGKey(2024)
+    rng, p_rng = jax.random.split(rng)
+    params = model.init_params(p_rng)
+    state = model.init_state(p_rng)
+
+    runner = EpochRunner(model, cfg.float("learn_rate"), args.batch_size, data.num_train)
+    opt_state = runner.init_opt_state(params)
+    sampler = NegativeSampler(data)
+
+    def one_epoch(params, opt_state, state, rng, epoch):
+        rng, k1, k2 = jax.random.split(rng, 3)
+        users, pos, neg = sampler.sample_epoch(k1)
+        params, opt_state, state, terms = runner.run_epoch(
+            params, opt_state, state, (), users, pos, neg, k2, epoch
+        )
+        jax.block_until_ready(terms)
+        return params, opt_state, state, rng, terms
+
+    # warmup / compile
+    t0 = time.time()
+    params, opt_state, state, rng, terms = one_epoch(params, opt_state, state, rng, 0)
+    log(f"warmup epoch (compile) {time.time()-t0:.1f}s, loss terms {[float(t) for t in terms]}")
+
+    # timed epochs
+    t0 = time.time()
+    for e in range(args.epochs):
+        params, opt_state, state, rng, terms = one_epoch(params, opt_state, state, rng, e + 1)
+    elapsed = time.time() - t0
+    epoch_time = elapsed / args.epochs
+    pairs_per_sec = data.num_train / epoch_time
+    log(f"epoch time {epoch_time:.3f}s, {pairs_per_sec:,.0f} pairs/s")
+
+    # eval sweep timing (reported to stderr only)
+    evaluator = Evaluator(model, data, cfg)
+    rng, k = jax.random.split(rng)
+    t0 = time.time()
+    result = evaluator.evaluate(params, state, (), k)
+    log(f"eval sweep (compile+run) {time.time()-t0:.1f}s recall@20={result['recall'][1]:.4f}")
+    t0 = time.time()
+    result = evaluator.evaluate(params, state, (), k)
+    eval_time = time.time() - t0
+    log(f"eval sweep (steady) {eval_time:.2f}s  [reference: ~3.9s]")
+
+    print(json.dumps({
+        "metric": "lightgcn_yelp2018scale_train_pairs_per_sec",
+        "value": round(pairs_per_sec, 1),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -31,7 +31,8 @@ _COMMON_DEFAULTS: dict[str, str] = {
     "top_K": "[10, 20]",
     # Numerics / run policy (new in this framework; safe defaults).
     "seed": "2024",
-    "compute_dtype": "float32",
+    "compute_dtype": "bfloat16",
+    "propagation_backend": "auto",
 }
 
 

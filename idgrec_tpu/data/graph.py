@@ -308,10 +308,14 @@ def edge_dropout_adjacency(
     """
     u_all, i_all, v_all = _interaction_edges(data)
     nnz = u_all.size
-    keep = rng.choice(nnz, size=int(round((1.0 - drop_ratio) * nnz)), replace=False)
+    # permutation split (shared convention with the dense backend so the
+    # same np rng state selects the same kept edges on either backend)
+    keep = rng.permutation(nnz)[: int(round((1.0 - drop_ratio) * nnz))]
     u = u_all[keep]
     i = i_all[keep]
-    v = v_all[keep]
+    # binary edge values, matching the reference augmentation
+    # (tools.py:80 builds the subgraph with np.ones)
+    v = np.ones(keep.size, dtype=np.float64)
     du = np.zeros(data.num_users, dtype=np.float64)
     di = np.zeros(data.num_items, dtype=np.float64)
     np.add.at(du, u, v)

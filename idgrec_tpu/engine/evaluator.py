@@ -109,9 +109,14 @@ class Evaluator:
         self.max_k = max(self.top_ks)
         batch_size = config.int("test_batch_size")
         self.plan = build_eval_plan(data, batch_size)
+        self._consts = model.constants()
         self._sweep = jax.jit(self._sweep_impl)
 
-    def _sweep_impl(self, params, state, ctx, rng, users, valid, truth, excl_rows, excl_cols):
+    def _sweep_impl(self, params, state, ctx, rng, users, valid, truth, excl_rows, excl_cols, consts):
+        with self.model.bound_constants(consts):
+            return self._sweep_body(params, state, ctx, rng, users, valid, truth, excl_rows, excl_cols)
+
+    def _sweep_body(self, params, state, ctx, rng, users, valid, truth, excl_rows, excl_cols):
         eval_repr = self.model.eval_embeddings(params, state, ctx, rng)
 
         def one_batch(sums, batch):
@@ -139,7 +144,8 @@ class Evaluator:
     def evaluate(self, params, state, ctx, rng) -> dict[str, np.ndarray]:
         p = self.plan
         sums = self._sweep(
-            params, state, ctx, rng, p.users, p.valid, p.truth, p.excl_rows, p.excl_cols
+            params, state, ctx, rng, p.users, p.valid, p.truth, p.excl_rows, p.excl_cols,
+            self._consts,
         )
         n = float(p.num_test_users)
         return {

@@ -68,9 +68,7 @@ class NegativeSampler:
 
         self._sample = jax.jit(self._sample_impl)
 
-    def _sample_impl(self, rng: jax.Array):
-        users = self.train_user
-        pos = self.train_item
+    def _sample_impl(self, rng: jax.Array, users, pos, row_ptr, col_idx):
         n = users.shape[0]
 
         def draw(key):
@@ -79,7 +77,7 @@ class NegativeSampler:
         rng, key = jax.random.split(rng)
         neg = draw(key)
         for _ in range(self.rounds):
-            colliding = _membership(self.row_ptr, self.col_idx, users, neg, self.search_iters)
+            colliding = _membership(row_ptr, col_idx, users, neg, self.search_iters)
             rng, key = jax.random.split(rng)
             neg = jnp.where(colliding, draw(key), neg)
 
@@ -90,7 +88,7 @@ class NegativeSampler:
 
     def sample_epoch(self, rng: jax.Array):
         """Returns shuffled (users, pos, neg) int32 arrays [num_train]."""
-        return self._sample(rng)
+        return self._sample(rng, self.train_user, self.train_item, self.row_ptr, self.col_idx)
 
 
 def sample_random_users(

@@ -2,13 +2,22 @@
 
 The reference trains with a host-side minibatch loop, one
 ``.item()`` device sync per loss term per batch, and a full-epoch
-host->device triple upload (trainer.py:20-57 — SURVEY §3.2). Here the
-entire epoch is a single jitted ``lax.scan`` over minibatches with
+host->device triple upload (trainer.py:20-57 — SURVEY §3.2). Here an
+epoch runs as a small number of jitted ``lax.scan`` segments over
+minibatches with
 
 * donated params/optimizer/model state (no reallocation churn),
-* per-term loss accumulation on device (one small transfer per epoch),
+* per-term loss accumulation on device (one tiny transfer per epoch),
 * optax Adam (same defaults as torch.optim.Adam: b1=0.9, b2=0.999,
   eps=1e-8 — trainer.py:11).
+
+Chunking: the epoch scan is split into segments of at most
+``max_steps_per_call`` training steps. One giant device program per
+epoch would be ideal, but serving environments (and the axon TPU
+tunnel used here) bound single-execution wall time; segments of a few
+hundred steps keep each call well under that while amortizing dispatch
+overhead to noise. At most two distinct segment lengths are used, so
+the engine compiles at most two scan programs per model.
 
 The trailing partial batch is wrapped (padded with samples from the
 epoch's start) to keep shapes static; with ~1.2M samples per epoch the
@@ -18,7 +27,7 @@ effect on the trajectory is noise-level.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -37,18 +46,30 @@ class EpochRunner:
         batch_size: int,
         num_train: int,
         optimizer: optax.GradientTransformation | None = None,
+        max_steps_per_call: int = 256,
     ):
         self.model = model
         self.batch_size = int(batch_size)
         self.num_train = int(num_train)
         self.num_batches = max(1, -(-self.num_train // self.batch_size))
         self.opt = optimizer or optax.adam(learn_rate, b1=0.9, b2=0.999, eps=1e-8)
-        self._run = jax.jit(self._epoch_impl, donate_argnums=(0, 1, 2))
+        self.max_steps_per_call = int(max_steps_per_call)
+
+        num_calls = max(1, -(-self.num_batches // self.max_steps_per_call))
+        base = self.num_batches // num_calls
+        rem = self.num_batches % num_calls
+        self.segment_lengths = [base + 1] * rem + [base] * (num_calls - rem)
+        assert sum(self.segment_lengths) == self.num_batches
+
+        self._consts = model.constants()
+        self._prepare = jax.jit(self._prepare_impl)
+        self._segment = jax.jit(self._segment_impl, donate_argnums=(0, 1, 2))
 
     def init_opt_state(self, params):
         return self.opt.init(params)
 
-    def _epoch_impl(self, params, opt_state, state, ctx, users, pos, neg, rng, epoch):
+    # ------------------------------------------------------------------
+    def _prepare_impl(self, users, pos, neg):
         nb, bs = self.num_batches, self.batch_size
         total = nb * bs
 
@@ -56,8 +77,9 @@ class EpochRunner:
             reps = -(-total // x.shape[0])
             return jnp.tile(x, reps)[:total].reshape(nb, bs)
 
-        batches = {"user": wrap(users), "pos": wrap(pos), "neg": wrap(neg)}
+        return {"user": wrap(users), "pos": wrap(pos), "neg": wrap(neg)}
 
+    def _segment_impl(self, params, opt_state, state, ctx, batches, rng, epoch, consts):
         def step(carry, batch):
             params, opt_state, state, rng = carry
             rng, sub = jax.random.split(rng)
@@ -74,17 +96,28 @@ class EpochRunner:
             params = optax.apply_updates(params, updates)
             return (params, opt_state, new_state, rng), terms
 
-        (params, opt_state, state, _), term_hist = jax.lax.scan(
-            step, (params, opt_state, state, rng), batches
-        )
-        return params, opt_state, state, jnp.sum(term_hist, axis=0)
+        with self.model.bound_constants(consts):
+            (params, opt_state, state, rng), term_hist = jax.lax.scan(
+                step, (params, opt_state, state, rng), batches
+            )
+        return params, opt_state, state, rng, jnp.sum(term_hist, axis=0)
 
+    # ------------------------------------------------------------------
     def run_epoch(self, params, opt_state, state, ctx, users, pos, neg, rng, epoch: int):
         """Run one epoch. Returns (params, opt_state, state, loss_term_sums).
 
         ``epoch`` is passed as a traced scalar so epoch-conditional
         losses (NCL's proto term, models/NCL.py:110-112) don't retrace.
         """
-        return self._run(
-            params, opt_state, state, ctx, users, pos, neg, rng, jnp.asarray(epoch, jnp.int32)
-        )
+        epoch_arr = jnp.asarray(epoch, jnp.int32)
+        batches = self._prepare(users, pos, neg)
+        term_total = None
+        start = 0
+        for seg_len in self.segment_lengths:
+            seg = jax.tree.map(lambda a: jax.lax.slice_in_dim(a, start, start + seg_len, axis=0), batches)
+            params, opt_state, state, rng, terms = self._segment(
+                params, opt_state, state, ctx, seg, rng, epoch_arr, self._consts
+            )
+            term_total = terms if term_total is None else term_total + terms
+            start += seg_len
+        return params, opt_state, state, term_total

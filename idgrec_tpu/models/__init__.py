@@ -9,6 +9,27 @@ from idgrec_tpu.models.registry import available_models, get_model
 from idgrec_tpu.models import (  # noqa: F401
     mfbpr,
     lightgcn,
+    lightgcn_pp,
+    directau,
+    mawu,
+    sccf,
+    lightccf,
+    lightcscf,
+    egcf,
+    simgcl,
+    xsimgcl,
+    sgl,
+    ncl,
+    hccf,
+    lightgcl,
+    cgcl,
+    bigcf,
+    mixrec,
+    ngcf,
+    impgcn,
+    recdcl,
+    cvga,
+    lightgode,
 )
 
 __all__ = ["registry", "available_models", "get_model"]

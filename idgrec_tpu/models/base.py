@@ -26,7 +26,14 @@ import numpy as np
 from idgrec_tpu.config import Config
 from idgrec_tpu.data.dataset import Dataset
 from idgrec_tpu.data.graph import SparseGraph
-from idgrec_tpu.ops.spmm import spmm
+from idgrec_tpu.ops.propagate import (
+    DenseRectAdj,
+    DenseSquareAdj,
+    GatherRectAdj,
+    GatherSquareAdj,
+)
+
+_ADJ_TYPES = (SparseGraph, DenseSquareAdj, DenseRectAdj, GatherSquareAdj, GatherRectAdj)
 
 Params = Any
 State = Any
@@ -40,6 +47,39 @@ def xavier_uniform(rng: jax.Array, shape: tuple[int, ...], dtype=jnp.float32) ->
     fan_out, fan_in = shape[0], shape[1] if len(shape) > 1 else 1
     limit = float(np.sqrt(6.0 / (fan_in + fan_out)))
     return jax.random.uniform(rng, shape, dtype=dtype, minval=-limit, maxval=limit)
+
+
+def torch_linear_init(rng: jax.Array, fan_in: int, fan_out: int):
+    """torch.nn.Linear default init: W, b ~ U(-k, k), k = 1/sqrt(fan_in)
+    (kaiming_uniform with a=√5). Returns (W [in, out], b [out]) for the
+    y = x @ W + b convention."""
+    k = float(1.0 / np.sqrt(fan_in))
+    kw, kb = jax.random.split(rng)
+    w = jax.random.uniform(kw, (fan_in, fan_out), minval=-k, maxval=k)
+    b = jax.random.uniform(kb, (fan_out,), minval=-k, maxval=k)
+    return w, b
+
+
+def dropout(rng: jax.Array, x: jnp.ndarray, rate: float) -> jnp.ndarray:
+    """Inverted dropout (torch semantics: scale kept values by 1/keep)."""
+    if rate <= 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+def batch_norm(x: jnp.ndarray, gamma=None, beta=None, eps: float = 1e-5) -> jnp.ndarray:
+    """Batch normalization over axis 0 with batch statistics (torch
+    BatchNorm1d in training mode; RecDCL never uses the running stats
+    at eval — models/RecDCL.py:146-153)."""
+    x = x.astype(jnp.float32)
+    mean = jnp.mean(x, axis=0, keepdims=True)
+    var = jnp.var(x, axis=0, keepdims=True)
+    y = (x - mean) / jnp.sqrt(var + eps)
+    if gamma is not None:
+        y = y * gamma[None, :] + beta[None, :]
+    return y
 
 
 class RecModel:
@@ -60,6 +100,8 @@ class RecModel:
         self.num_users = data.num_users
         self.num_items = data.num_items
         self.embedding_size = config.int("embedding_size")
+        self.backend = config.str("propagation_backend", "auto")
+        self.compute_dtype = config.str("compute_dtype", "bfloat16")
 
     # -- parameters / state -------------------------------------------------
     def init_params(self, rng: jax.Array) -> Params:
@@ -116,9 +158,37 @@ class RecModel:
     def device_put(self):
         """Move the model's constant arrays (graphs) on-device once."""
         for attr, value in list(self.__dict__.items()):
-            if isinstance(value, SparseGraph):
+            if isinstance(value, _ADJ_TYPES):
                 setattr(self, attr, jax.device_put(value))
         return self
+
+    def constants(self) -> dict[str, Any]:
+        """The model's large non-trainable device arrays (graphs, SVD
+        factors, padded CSR tables). The engine passes these THROUGH
+        the jit boundary as arguments: if they were left as Python
+        closures, jit would embed them as compile-time constants —
+        gigabytes in the program payload (fatal with remote
+        compilation, wasteful everywhere)."""
+        out: dict[str, Any] = {}
+        for attr, value in self.__dict__.items():
+            if isinstance(value, _ADJ_TYPES) or isinstance(value, jnp.ndarray):
+                out[attr] = value
+        return out
+
+    from contextlib import contextmanager as _contextmanager
+
+    @_contextmanager
+    def bound_constants(self, consts: dict[str, Any]):
+        """Temporarily rebind constant attributes to (traced) values
+        while a jitted function body traces through model methods."""
+        originals = {k: getattr(self, k) for k in consts}
+        try:
+            for k, v in consts.items():
+                setattr(self, k, v)
+            yield self
+        finally:
+            for k, v in originals.items():
+                setattr(self, k, v)
 
 
 # ---------------------------------------------------------------------------
@@ -134,7 +204,7 @@ def split_user_item(emb: jnp.ndarray, num_users: int) -> tuple[jnp.ndarray, jnp.
 
 
 def lightgcn_propagate(
-    graph: SparseGraph,
+    graph,
     emb0: jnp.ndarray,
     num_layers: int,
     include_layer0: bool = True,
@@ -151,7 +221,7 @@ def lightgcn_propagate(
         layers.append(emb0)
     h = emb0
     for _ in range(num_layers):
-        h = spmm(graph, h)
+        h = graph.matmul(h)
         layers.append(h)
     stacked = jnp.stack(layers, axis=0)
     if reduce == "mean":
@@ -162,13 +232,13 @@ def lightgcn_propagate(
 
 
 def lightgcn_layer_outputs(
-    graph: SparseGraph, emb0: jnp.ndarray, num_layers: int
+    graph, emb0: jnp.ndarray, num_layers: int
 ) -> list[jnp.ndarray]:
     """[emb0, Â·emb0, Â²·emb0, ...] — the per-layer list some SSL models
     contrast across (models/NCL.py:48-64, models/CGCL.py:44-60)."""
     outs = [emb0]
     h = emb0
     for _ in range(num_layers):
-        h = spmm(graph, h)
+        h = graph.matmul(h)
         outs.append(h)
     return outs

@@ -1,0 +1,45 @@
+"""LightCCF (Zhang et al., SIGIR'25): neighborhood-aggregation contrast.
+
+Parity with reference models/LightCCF.py: MF/LightGCN encoder
+(LightCCF.py:59-63), BPR + reg + λ·neighborhood-aggregation loss
+(LightCCF.py:81-94).
+"""
+
+from __future__ import annotations
+
+from idgrec_tpu.models.base import RecModel
+from idgrec_tpu.models.encoders import EncoderSwitchMixin
+from idgrec_tpu.models.registry import register
+from idgrec_tpu.ops import losses
+
+
+@register("LightCCF")
+class LightCCF(EncoderSwitchMixin, RecModel):
+    loss_names = ("bpr", "reg", "na")
+
+    def __init__(self, config, data):
+        super().__init__(config, data)
+        self.reg_lambda = config.float("reg_lambda")
+        self.ssl_lambda = config.float("ssl_lambda")
+        self.temperature = config.float("temperature")
+        self._init_encoder(config, data)
+
+    def loss_terms(self, params, state, ctx, batch, rng, epoch):
+        user_all, item_all = self.encode(params)
+        user_e = user_all[batch["user"]]
+        pos_e = item_all[batch["pos"]]
+        neg_e = item_all[batch["neg"]]
+
+        ego_user = params["user_emb"][batch["user"]]
+        ego_pos = params["item_emb"][batch["pos"]]
+        ego_neg = params["item_emb"][batch["neg"]]
+
+        bpr = losses.bpr_loss(user_e, pos_e, neg_e)
+        reg = self.reg_lambda * losses.reg_loss(ego_user, ego_pos, ego_neg)
+        na = self.ssl_lambda * losses.neighbor_aggregate_loss(
+            user_e, pos_e, self.temperature
+        )
+        return (bpr, reg, na), state
+
+    def eval_embeddings(self, params, state, ctx, rng):
+        return self.encode(params)

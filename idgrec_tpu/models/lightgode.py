@@ -1,0 +1,76 @@
+"""LightGODE (Zhang et al., CIKM'24): post-training graph ODE.
+
+Parity with reference models/LightGODE.py: training is pure MF with
+alignment + γ·uniformity + reg (LightGODE.py:54-71); at evaluation the
+embeddings are integrated through ``dx/dt = Â·x + e₀`` with a euler
+solver over t ∈ [0, T] (LightGODE.py:112-143 — torchdiffeq with grid
+[0, T], i.e. one euler step of size T; see idgrec_tpu.ops.ode).
+
+``train_strategy`` (LightGODE.py:26-31):
+* 'MF'      — MF in training AND evaluation;
+* 'GODE'    — ODE encoder in training and evaluation;
+* 'MF_init' — MF while training, ODE at evaluation (default config).
+
+The reference caches the integrated embeddings between eval batches
+(restore_user/item, LightGODE.py:73-83); this evaluator computes
+`eval_embeddings` once per sweep, which subsumes that cache.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from idgrec_tpu.models.base import RecModel, concat_user_item, split_user_item
+from idgrec_tpu.models.registry import register
+from idgrec_tpu.ops import losses
+from idgrec_tpu.ops.ode import odeint_euler
+from idgrec_tpu.ops.propagate import build_adjacency
+
+
+@register("LightGODE")
+class LightGODE(RecModel):
+    loss_names = ("align", "uniform", "reg")
+
+    def __init__(self, config, data):
+        super().__init__(config, data)
+        self.gamma = config.float("gamma")
+        self.reg_lambda = config.float("reg_lambda")
+        self.t = config.float("t")
+        self.train_strategy = config.str("train_strategy")
+        if self.train_strategy not in ("MF", "GODE", "MF_init"):
+            raise ValueError(f"unknown train_strategy {self.train_strategy!r}")
+        self.graph = build_adjacency(data, "sym", self.backend, compute_dtype=self.compute_dtype)
+
+    def _ode_embeddings(self, params):
+        e0 = concat_user_item(params).astype(jnp.float32)
+
+        def f(t, x):
+            return self.graph.matmul(x) + e0
+
+        z = odeint_euler(f, e0, [0.0, self.t])
+        return split_user_item(z, self.num_users)
+
+    def _embeddings(self, params, training):
+        use_mf = self.train_strategy == "MF" or (
+            self.train_strategy == "MF_init" and training
+        )
+        if use_mf:
+            return params["user_emb"], params["item_emb"]
+        return self._ode_embeddings(params)
+
+    def loss_terms(self, params, state, ctx, batch, rng, epoch):
+        user_all, item_all = self._embeddings(params, training=True)
+        user_e = user_all[batch["user"]]
+        item_e = item_all[batch["pos"]]
+
+        align = losses.align_loss(user_e, item_e)
+        uniform = self.gamma * (
+            losses.uniform_loss(user_e) + losses.uniform_loss(item_e)
+        ) / 2.0
+        ego_user = params["user_emb"][batch["user"]]
+        ego_pos = params["item_emb"][batch["pos"]]
+        reg = self.reg_lambda * losses.reg_loss(ego_user, ego_pos)
+        return (align, uniform, reg), state
+
+    def eval_embeddings(self, params, state, ctx, rng):
+        return self._embeddings(params, training=False)

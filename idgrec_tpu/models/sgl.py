@@ -1,0 +1,121 @@
+"""SGL (Wu et al., SIGIR'21): self-supervised graph learning.
+
+Parity with reference models/SGL.py: LightGCN aggregation over the full
+graph for BPR + over two per-epoch augmented graphs for the contrastive
+views (SGL.py:60-89). Augmentations (SGL.py:126-143, tools.py:67-92):
+
+* 'ed' (edge dropout) / 'nd': two subgraphs shared across layers;
+* 'rw' (random walk): an independent subgraph per layer per view.
+
+'nd' raises NotImplementedError in the reference (tools.py:72-73) and
+here. The InfoNCE contrast uses raw batch indices, not uniques
+(SGL.py:79-83). The reference's SGL trainer tracks but never acts on
+early stopping and runs a final evaluation after the last epoch
+(SGL.py:188-197) — mirrored via ``respects_early_stop = False``.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from idgrec_tpu.models.base import (
+    RecModel,
+    concat_user_item,
+    lightgcn_propagate,
+    split_user_item,
+)
+from idgrec_tpu.models.registry import register
+from idgrec_tpu.ops import losses
+from idgrec_tpu.ops.propagate import (
+    _select_backend,
+    build_adjacency,
+    build_binary_count_matrix,
+    build_dropout_adjacency,
+)
+
+
+@register("SGL")
+class SGL(RecModel):
+    loss_names = ("bpr", "reg", "ssl")
+    respects_early_stop = False
+
+    def __init__(self, config, data):
+        super().__init__(config, data)
+        self.reg_lambda = config.float("reg_lambda")
+        self.ssl_lambda = config.float("ssl_lambda")
+        self.temperature = config.float("temperature")
+        self.ssl_ratio = config.float("ssl_ratio")
+        self.aug_type = config.str("aug_type")
+        if self.aug_type == "nd":
+            raise NotImplementedError(
+                "aug_type 'nd' is not implemented (reference tools.py:72-73)"
+            )
+        if self.aug_type not in ("ed", "rw"):
+            raise ValueError(f"unknown aug_type {self.aug_type!r}")
+        self.num_layers = config.int("GCN_layer")
+        self.graph = build_adjacency(data, "sym", self.backend, compute_dtype=self.compute_dtype)
+        # shared binary matrix for dropout views (uploaded once)
+        self._m_bin = (
+            build_binary_count_matrix(data)
+            if _select_backend(data, self.backend) == "dense"
+            else None
+        )
+
+    def epoch_context(self, params, state, epoch, np_rng):
+        """Two augmented graphs per epoch (SGL.py:130-143); for 'rw'
+        one per layer per view. Stable pytree structure across epochs."""
+        def make():
+            return build_dropout_adjacency(
+                self.data, self.ssl_ratio, np_rng, self.backend,
+                compute_dtype=self.compute_dtype, m_bin=self._m_bin,
+            )
+
+        if self.aug_type == "ed":
+            return ((make(),), (make(),))
+        return (
+            tuple(make() for _ in range(self.num_layers)),
+            tuple(make() for _ in range(self.num_layers)),
+        )
+
+    def _aggregate_multi(self, graphs, emb0):
+        """LightGCN aggregation where layer L uses graphs[L % len]."""
+        layers = [emb0]
+        h = emb0
+        for layer in range(self.num_layers):
+            g = graphs[layer % len(graphs)]
+            h = g.matmul(h)
+            layers.append(h)
+        return jnp.mean(jnp.stack(layers, axis=0), axis=0)
+
+    def loss_terms(self, params, state, ctx, batch, rng, epoch):
+        graphs_1, graphs_2 = ctx
+        emb0 = concat_user_item(params)
+        final = lightgcn_propagate(self.graph, emb0, self.num_layers)
+        user_all, item_all = split_user_item(final, self.num_users)
+        view1 = self._aggregate_multi(graphs_1, emb0)
+        view2 = self._aggregate_multi(graphs_2, emb0)
+        u1, i1 = split_user_item(view1, self.num_users)
+        u2, i2 = split_user_item(view2, self.num_users)
+
+        user_e = user_all[batch["user"]]
+        pos_e = item_all[batch["pos"]]
+        neg_e = item_all[batch["neg"]]
+        ego_user = params["user_emb"][batch["user"]]
+        ego_pos = params["item_emb"][batch["pos"]]
+        ego_neg = params["item_emb"][batch["neg"]]
+
+        bpr = losses.bpr_loss(user_e, pos_e, neg_e)
+        reg = self.reg_lambda * losses.reg_loss(ego_user, ego_pos, ego_neg)
+        user_ssl = losses.infonce_loss(
+            u1[batch["user"]], u2[batch["user"]], self.temperature
+        )
+        item_ssl = losses.infonce_loss(
+            i1[batch["pos"]], i2[batch["pos"]], self.temperature
+        )
+        ssl = self.ssl_lambda * (user_ssl + item_ssl)
+        return (bpr, reg, ssl), state
+
+    def eval_embeddings(self, params, state, ctx, rng):
+        emb0 = concat_user_item(params)
+        final = lightgcn_propagate(self.graph, emb0, self.num_layers)
+        return split_user_item(final, self.num_users)

@@ -1,0 +1,142 @@
+"""Generic per-model smoke/contract tests: every registered model must
+train for 2 epochs on a tiny dataset with finite decreasing-or-stable
+losses and produce a valid evaluation."""
+
+import jax
+import numpy as np
+import pytest
+
+from idgrec_tpu.config import Config, load_model_config
+from idgrec_tpu.data.dataset import make_synthetic_dataset
+from idgrec_tpu.engine.loop import train_model
+from idgrec_tpu.models import available_models, get_model
+
+# model-specific config extras for the tiny run (mirrors each model's
+# reference configure/<M>.txt keys)
+EXTRAS = {
+    "DirectAU": {"gamma": 2.0, "encoder": "LightGCN"},
+    "MAWU": {"gamma_user": 1.0, "gamma_item": 0.1, "encoder": "LightGCN"},
+    "SCCF": {"temperature": 0.1, "encoder": "MF"},
+    "LightCCF": {"ssl_lambda": 5.0, "temperature": 0.22, "encoder": "LightGCN"},
+    "LightCSCF": {
+        "lambda_reg": 0.0001, "lambda_gamma": 1.0, "lambda_margin": 0.7,
+        "temperature": 0.2, "encoder": "LightGCN",
+    },
+    "EGCF": {"ssl_lambda": 0.1, "temperature": 0.1, "mode": "parallel"},
+    "SimGCL": {"ssl_lambda": 0.5, "temperature": 0.2, "epsilon": 0.05},
+    "XSimGCL": {"ssl_lambda": 0.2, "temperature": 0.15, "epsilon": 0.2, "cl_layer": 1},
+    "LightGCN_pp": {"gamma": 0.2, "alpha": 0.6, "beta": -0.1},
+    "SGL": {"ssl_lambda": 0.1, "ssl_ratio": 0.1, "aug_type": "ed", "temperature": 0.2},
+    "NCL": {
+        "ssl_lambda": 1e-6, "proto_lambda": 1e-7, "temperature": 0.05,
+        "cl_layer": 1, "alpha": 1.5, "k": 8, "warmup_epochs": 1,
+    },
+    "HCCF": {"ssl_lambda": 0.3, "temperature": 0.1, "hyper_size": 16, "keeprate": 1.0},
+    "LightGCL": {"ssl_lambda": 0.5, "temperature": 0.2, "svd_q": 3, "reg_lambda": 1e-6},
+    "CGCL": {
+        "ssl_lambda_alpha": 1e-5, "ssl_lambda_beta": 1e-5, "ssl_lambda_gamma": 1e-5,
+        "alpha": 0.5, "beta": 0.5, "gamma": 0.5, "temperature": 0.1,
+    },
+    "BIGCF": {
+        "ssl_lambda": 0.2, "ssl_temperature": 0.2, "int_temperature": 0.2,
+        "intent_size": 8,
+    },
+    "MixRec": {
+        "ssl_lambda": 1.1, "temperature": 0.2, "alpha": 0.1, "beta": 0.1, "gamma": 0.1,
+    },
+    "NGCF": {
+        "mess_dropout": "True", "mess_drop_prob": "[0.1, 0.1]",
+        "node_dropout": "False", "node_drop_prob": 0.1, "layer_size": "[16, 16]",
+    },
+    "GCMC": {
+        "mess_dropout": "True", "mess_drop_prob": "[0.1, 0.1]",
+        "layer_size": "[16, 16]",
+    },
+    "GCCF": {
+        "mess_dropout": "True", "mess_drop_prob": "[0.1, 0.1]",
+        "node_dropout": "False", "node_drop_prob": 0.1, "layer_size": "[16, 16]",
+    },
+    "RecDCL": {
+        "a": 1, "polyc": 1e-7, "degree": 4, "all_bt_coeff": 1, "poly_coeff": 5.0,
+        "bt_coeff": 0.01, "mom_coeff": 1, "momentum": 0.1,
+    },
+    "IMPGCN": {"group": 2},
+    "CVGA": {"dropout": 0.3},
+    "LightGODE": {"gamma": 2.0, "t": 4.0, "train_strategy": "MF_init"},
+}
+
+
+def _tiny_config(model_name):
+    base = {
+        "dataset": "tiny",
+        "top_K": "[3, 5]",
+        "training_epochs": "2",
+        "early_stopping": "10",
+        "interval": "1",
+        "embedding_size": "16",
+        "batch_size": "128",
+        "test_batch_size": "64",
+        "learn_rate": "0.01",
+        "reg_lambda": "0.0001",
+        "GCN_layer": "2",
+    }
+    base.update({k: str(v) for k, v in EXTRAS.get(model_name, {}).items()})
+    return Config(base, name=model_name)
+
+
+@pytest.fixture(scope="module")
+def data():
+    return make_synthetic_dataset(50, 80, 1000, 200, seed=11, name="tiny")
+
+
+@pytest.mark.parametrize("model_name", sorted(available_models()))
+def test_model_trains_and_evaluates(model_name, data):
+    result = train_model(
+        model_name, data, config=_tiny_config(model_name), seed=3,
+        log_dir=None, echo=False, max_epochs=2,
+    )
+    assert len(result.history) == 2
+    for h in result.history:
+        total = float(h["loss"].split(" = ")[0])
+        assert np.isfinite(total), f"{model_name} loss not finite: {h}"
+    assert result.best.recall is not None
+    assert np.all(result.best.recall >= 0) and np.all(result.best.recall <= 1)
+    assert np.all(result.best.ndcg >= 0) and np.all(result.best.ndcg <= 1)
+
+
+@pytest.mark.parametrize("model_name", sorted(available_models()))
+def test_model_loss_count_matches_names(model_name, data):
+    cfg = _tiny_config(model_name)
+    model = get_model(model_name)(cfg, data)
+    model.device_put()
+    rng = jax.random.PRNGKey(0)
+    params = model.init_params(rng)
+    state = model.init_state(rng)
+    ctx = jax.device_put(model.epoch_context(params, state, 0, np.random.default_rng(0)))
+    batch = {
+        "user": jax.numpy.zeros(8, jax.numpy.int32),
+        "pos": jax.numpy.arange(8, dtype=jax.numpy.int32),
+        "neg": jax.numpy.arange(8, dtype=jax.numpy.int32) + 8,
+    }
+    terms, _ = model.loss_terms(params, state, ctx, batch, rng, jax.numpy.asarray(0))
+    assert len(terms) == len(model.loss_names), (
+        f"{model_name}: {len(terms)} loss terms but names {model.loss_names}"
+    )
+
+
+def test_all_reference_models_covered():
+    """The reference menu lists 26 entries, ships 25 model files; DCCF is
+    a ghost (main.py:31,39 — no models/DCCF.py). The zoo must converge
+    to those 25. This test ratchets: it pins the currently-ported set
+    and the final target."""
+    ported = set(available_models())
+    reference_models = {
+        "MFBPR", "GCMC", "GCCF", "NGCF", "LightGCN", "IMPGCN", "SGL", "CVGA",
+        "SimGCL", "XSimGCL", "DirectAU", "NCL", "HCCF", "LightGCL", "CGCL",
+        "MAWU", "RecDCL", "BIGCF", "SCCF", "EGCF", "LightGODE", "LightGCN_pp",
+        "MixRec", "LightCCF", "LightCSCF",
+    }
+    assert ported <= reference_models | {"DCCF"}
+    missing = reference_models - ported
+    # ratchet: tighten as models land
+    assert len(missing) == 0, f"zoo regressed: missing {sorted(missing)}"

@@ -1,0 +1,94 @@
+"""Dense (int8 factorized) vs gather propagation backend equivalence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from idgrec_tpu.ops.propagate import (
+    build_adjacency,
+    build_dropout_adjacency,
+    build_rect_adjacency,
+)
+
+
+def _x(data, rng, square=True):
+    n = data.num_nodes if square else data.num_items
+    return jnp.asarray(rng.normal(size=(n, 8)).astype(np.float32))
+
+
+@pytest.mark.parametrize("variant", ["sym", "self", "gen"])
+def test_dense_matches_gather_square(tiny_dataset, rng, variant):
+    kw = {"alpha": 0.6, "beta": -0.1} if variant == "gen" else {}
+    dense = build_adjacency(tiny_dataset, variant, "dense", compute_dtype="float32", **kw)
+    gather = build_adjacency(tiny_dataset, variant, "gather", **kw)
+    x = _x(tiny_dataset, rng)
+    y_dense = np.asarray(dense.matmul(x))
+    y_gather = np.asarray(gather.matmul(x))
+    np.testing.assert_allclose(y_dense, y_gather, rtol=1e-4, atol=1e-5)
+
+
+def test_dense_matches_gather_rect(tiny_dataset, rng):
+    dense = build_rect_adjacency(tiny_dataset, "dense", compute_dtype="float32")
+    gather = build_rect_adjacency(tiny_dataset, "gather")
+    xi = _x(tiny_dataset, rng, square=False)
+    np.testing.assert_allclose(
+        np.asarray(dense.matmul(xi)), np.asarray(gather.matmul(xi)), rtol=1e-4, atol=1e-5
+    )
+    xu = jnp.asarray(rng.normal(size=(tiny_dataset.num_users, 8)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(dense.t_matmul(xu)), np.asarray(gather.t_matmul(xu)), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_dense_bf16_close_to_f32(tiny_dataset, rng):
+    dense16 = build_adjacency(tiny_dataset, "sym", "dense", compute_dtype="bfloat16")
+    dense32 = build_adjacency(tiny_dataset, "sym", "dense", compute_dtype="float32")
+    x = _x(tiny_dataset, rng)
+    np.testing.assert_allclose(
+        np.asarray(dense16.matmul(x)), np.asarray(dense32.matmul(x)), rtol=2e-2, atol=2e-2
+    )
+
+
+def test_dense_gradient_matches_gather(tiny_dataset, rng):
+    dense = build_adjacency(tiny_dataset, "sym", "dense", compute_dtype="float32")
+    gather = build_adjacency(tiny_dataset, "sym", "gather")
+    x = _x(tiny_dataset, rng)
+    w = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+
+    g_dense = jax.grad(lambda x: jnp.sum(dense.matmul(x) * w))(x)
+    g_gather = jax.grad(lambda x: jnp.sum(gather.matmul(x) * w))(x)
+    np.testing.assert_allclose(np.asarray(g_dense), np.asarray(g_gather), rtol=1e-4, atol=1e-5)
+
+
+def test_gate_matches_between_backends(tiny_dataset, rng):
+    dense = build_adjacency(tiny_dataset, "sym", "dense", compute_dtype="float32")
+    gather = build_adjacency(tiny_dataset, "sym", "gather")
+    x = _x(tiny_dataset, rng)
+    gate = jnp.asarray((rng.random(tiny_dataset.num_nodes) < 0.6).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(dense.matmul(x, gate=gate)),
+        np.asarray(gather.matmul(x, gate=gate)),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_dropout_adjacency_backends_same_structure(tiny_dataset):
+    # same np_rng seed -> same kept edges -> same matrix
+    d = build_dropout_adjacency(tiny_dataset, 0.3, np.random.default_rng(7), "dense",
+                                compute_dtype="float32")
+    g = build_dropout_adjacency(tiny_dataset, 0.3, np.random.default_rng(7), "gather")
+    x = _x(tiny_dataset, np.random.default_rng(1))
+    np.testing.assert_allclose(np.asarray(d.matmul(x)), np.asarray(g.matmul(x)), rtol=1e-4, atol=1e-5)
+
+
+def test_under_jit_and_device_put(tiny_dataset, rng):
+    dense = jax.device_put(build_adjacency(tiny_dataset, "sym", "dense"))
+    x = _x(tiny_dataset, rng)
+
+    @jax.jit
+    def f(adj, x):
+        return adj.matmul(x)
+
+    y = f(dense, x)
+    assert y.shape == x.shape
