@@ -1,0 +1,97 @@
+"""Checkpoint / resume.
+
+The reference has NO model-state checkpointing — a crash loses the run
+(SURVEY §5); only preprocessing caches exist (data_graph.py:9,27).
+This module adds periodic checkpoints of the full training state
+(params, optimizer state, model state, RNG keys, best-results
+bookkeeping) so restarts resume mid-run.
+
+Format: one ``.npz`` of flattened pytree leaves plus a JSON sidecar
+with the step and host-RNG state. Restore unflattens against a
+template with the same structure (the engine always has one from
+initialization), so no pickled code is involved.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import jax
+import numpy as np
+
+_CKPT_RE = re.compile(r"ckpt_(\d+)\.npz$")
+
+
+def save_checkpoint(directory: str, epoch: int, tree, np_rng_state: dict | None = None,
+                    best: dict | None = None, keep: int = 2) -> str:
+    os.makedirs(directory, exist_ok=True)
+    leaves = [np.asarray(l) for l in jax.tree.leaves(tree)]
+    path = os.path.join(directory, f"ckpt_{epoch}.npz")
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, *leaves)
+    os.replace(tmp, path)
+    meta = {"epoch": epoch, "num_leaves": len(leaves)}
+    if np_rng_state is not None:
+        meta["np_rng_state"] = np_rng_state
+    if best is not None:
+        meta["best"] = best
+    with open(os.path.join(directory, f"ckpt_{epoch}.json"), "w") as f:
+        json.dump(meta, f, default=_jsonable)
+
+    # prune old checkpoints
+    epochs = sorted(_list_epochs(directory))
+    for old in epochs[:-keep]:
+        for suffix in (".npz", ".json"):
+            try:
+                os.remove(os.path.join(directory, f"ckpt_{old}{suffix}"))
+            except OSError:
+                pass
+    return path
+
+
+def _jsonable(x):
+    if isinstance(x, np.ndarray):
+        return x.tolist()
+    if isinstance(x, (np.floating, np.integer)):
+        return x.item()
+    raise TypeError(type(x))
+
+
+def _list_epochs(directory: str) -> list[int]:
+    out = []
+    try:
+        names = os.listdir(directory)
+    except OSError:
+        return out
+    for name in names:
+        m = _CKPT_RE.match(name)
+        if m:
+            out.append(int(m.group(1)))
+    return out
+
+
+def latest_checkpoint(directory: str) -> int | None:
+    epochs = _list_epochs(directory)
+    return max(epochs) if epochs else None
+
+
+def load_checkpoint(directory: str, epoch: int, template):
+    """Returns (tree, meta) with the template's structure/leaf order."""
+    with np.load(os.path.join(directory, f"ckpt_{epoch}.npz")) as z:
+        arrays = [z[f"arr_{i}"] for i in range(len(z.files))]
+    treedef = jax.tree.structure(template)
+    leaves = jax.tree.leaves(template)
+    if len(arrays) != len(leaves):
+        raise ValueError(
+            f"checkpoint has {len(arrays)} leaves, template has {len(leaves)}"
+        )
+    restored = [
+        np.asarray(a, dtype=np.asarray(t).dtype).reshape(np.asarray(t).shape)
+        for a, t in zip(arrays, leaves)
+    ]
+    tree = jax.tree.unflatten(treedef, restored)
+    with open(os.path.join(directory, f"ckpt_{epoch}.json")) as f:
+        meta = json.load(f)
+    return tree, meta

@@ -102,13 +102,14 @@ def build_eval_plan(
 class Evaluator:
     """Jitted full-catalog evaluator for one model/dataset pair."""
 
-    def __init__(self, model: RecModel, data: Dataset, config: Config):
+    def __init__(self, model: RecModel, data: Dataset, config: Config,
+                 users: list[int] | None = None):
         self.model = model
         self.data = data
         self.top_ks = tuple(config.int_list("top_K"))
         self.max_k = max(self.top_ks)
         batch_size = config.int("test_batch_size")
-        self.plan = build_eval_plan(data, batch_size)
+        self.plan = build_eval_plan(data, batch_size, users=users)
         self._consts = model.constants()
         self._sweep = jax.jit(self._sweep_impl)
 

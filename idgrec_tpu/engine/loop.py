@@ -26,6 +26,7 @@ import numpy as np
 
 from idgrec_tpu.config import Config, load_model_config
 from idgrec_tpu.data.dataset import Dataset
+from idgrec_tpu.engine import checkpoint as ckpt
 from idgrec_tpu.engine.evaluator import BestResults, Evaluator
 from idgrec_tpu.engine.logging_utils import RunLogger, loss_string
 from idgrec_tpu.engine.sampler import NegativeSampler
@@ -51,6 +52,9 @@ def train_model(
     log_dir: str | None = "log",
     echo: bool = True,
     max_epochs: int | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int | None = None,
+    mesh=None,
 ) -> TrainResult:
     config = config or load_model_config(model_name)
     seed = seed if seed is not None else config.int("seed")
@@ -77,10 +81,22 @@ def train_model(
         learn_rate=config.float("learn_rate"),
         batch_size=config.int("batch_size"),
         num_train=data.num_train if batching == "bpr_triples" else data.num_users,
+        mesh=mesh,
     )
     opt_state = runner.init_opt_state(params)
+    params, opt_state, state = runner.shard(params, opt_state, state)
     sampler = NegativeSampler(data) if batching == "bpr_triples" else None
-    evaluator = Evaluator(model, data, config)
+    sparsity_mode = config.int("sparsity_test") == 1
+    if sparsity_mode:
+        split_uids, split_state = data.create_sparsity_split()
+        for line in split_state:
+            logger.info(line)
+        evaluators = [
+            Evaluator(model, data, config, users=grp) for grp in split_uids if grp
+        ]
+        evaluator = evaluators[0]
+    else:
+        evaluator = Evaluator(model, data, config)
     best = BestResults(patience=config.int("early_stopping"))
 
     epochs = max_epochs if max_epochs is not None else config.int("training_epochs")
@@ -91,7 +107,26 @@ def train_model(
     history: list[dict] = []
     last_result: dict | None = None
 
-    for epoch in range(epochs):
+    start_epoch = 0
+    if checkpoint_dir:
+        latest = ckpt.latest_checkpoint(checkpoint_dir)
+        if latest is not None:
+            template = {"params": params, "opt_state": opt_state, "state": state, "rng": rng}
+            tree, meta = ckpt.load_checkpoint(checkpoint_dir, latest, template)
+            params, opt_state, state = tree["params"], tree["opt_state"], tree["state"]
+            rng = jnp.asarray(tree["rng"])
+            if "np_rng_state" in meta:
+                np_rng.bit_generator.state = meta["np_rng_state"]
+            if "best" in meta:
+                b = meta["best"]
+                best.count = b["count"]
+                best.epoch = b["epoch"]
+                best.recall = np.asarray(b["recall"]) if b["recall"] is not None else None
+                best.ndcg = np.asarray(b["ndcg"]) if b["ndcg"] is not None else None
+            start_epoch = meta["epoch"]
+            logger.info(f"Resumed from checkpoint at epoch {start_epoch}")
+
+    for epoch in range(start_epoch, epochs):
         start = time.time()
         ctx = model.epoch_context(params, state, epoch, np_rng)
         ctx = jax.device_put(ctx)
@@ -124,7 +159,20 @@ def train_model(
 
         if epoch % interval == 0:
             rng, eval_key = jax.random.split(rng)
-            result = last_result = evaluator.evaluate(params, state, ctx, eval_key)
+            if sparsity_mode:
+                # reference sparsity path (batch_test.py:26-32): log all
+                # quartile levels, track best on level 1
+                results = [
+                    ev.evaluate(params, state, ctx, eval_key) for ev in evaluators
+                ]
+                for level, res in enumerate(results, start=1):
+                    logger.info(
+                        "\t level_%d: recall: %s ,ndcg: %s"
+                        % (level, res["recall"], res["ndcg"])
+                    )
+                result = last_result = results[0]
+            else:
+                result = last_result = evaluator.evaluate(params, state, ctx, eval_key)
             best.update(result, epoch)
             logger.info(
                 "Epoch: %4d | Test recall: %s | Test NDCG: %s"
@@ -135,6 +183,18 @@ def train_model(
                 recall=result["recall"], ndcg=result["ndcg"],
                 precision=result["precision"],
             )
+            if checkpoint_dir and (
+                checkpoint_every is None or (epoch + 1) % checkpoint_every == 0
+            ):
+                ckpt.save_checkpoint(
+                    checkpoint_dir, epoch + 1,
+                    {"params": params, "opt_state": opt_state, "state": state, "rng": rng},
+                    np_rng_state=np_rng.bit_generator.state,
+                    best={
+                        "count": best.count, "epoch": best.epoch,
+                        "recall": best.recall, "ndcg": best.ndcg,
+                    },
+                )
             if best.stop and respects_early_stop:
                 logger.info("Early stop......")
                 break

@@ -47,8 +47,14 @@ class EpochRunner:
         num_train: int,
         optimizer: optax.GradientTransformation | None = None,
         max_steps_per_call: int = 256,
+        mesh=None,
     ):
+        """mesh: optional jax.sharding.Mesh — embedding-table rows are
+        sharded over its 'model' axis, per-step batches over 'data';
+        XLA inserts the table all-gathers and gradient reductions.
+        Leaves with indivisible dimensions stay replicated."""
         self.model = model
+        self.mesh = mesh
         self.batch_size = int(batch_size)
         self.num_train = int(num_train)
         self.num_batches = max(1, -(-self.num_train // self.batch_size))
@@ -62,11 +68,36 @@ class EpochRunner:
         assert sum(self.segment_lengths) == self.num_batches
 
         self._consts = model.constants()
+        if mesh is not None:
+            from idgrec_tpu.parallel.mesh import param_shardings
+
+            self._consts = jax.device_put(
+                self._consts, param_shardings(self._consts, mesh)
+            )
         self._prepare = jax.jit(self._prepare_impl)
         self._segment = jax.jit(self._segment_impl, donate_argnums=(0, 1, 2))
 
     def init_opt_state(self, params):
         return self.opt.init(params)
+
+    def shard(self, params, opt_state, state):
+        """Place training state on the mesh (row-sharded tables)."""
+        if self.mesh is None:
+            return params, opt_state, state
+        from idgrec_tpu.parallel.mesh import param_shardings
+
+        params = jax.device_put(params, param_shardings(params, self.mesh))
+        opt_state = jax.device_put(opt_state, param_shardings(opt_state, self.mesh))
+        state = jax.device_put(state, param_shardings(state, self.mesh))
+        return params, opt_state, state
+
+    def _shard_batches(self, batches):
+        if self.mesh is None:
+            return batches
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharding = NamedSharding(self.mesh, P(None, "data"))
+        return jax.tree.map(lambda a: jax.device_put(a, sharding), batches)
 
     # ------------------------------------------------------------------
     def _prepare_impl(self, users, pos, neg):
@@ -110,7 +141,7 @@ class EpochRunner:
         losses (NCL's proto term, models/NCL.py:110-112) don't retrace.
         """
         epoch_arr = jnp.asarray(epoch, jnp.int32)
-        batches = self._prepare(users, pos, neg)
+        batches = self._shard_batches(self._prepare(users, pos, neg))
         term_total = None
         start = 0
         for seg_len in self.segment_lengths:

@@ -1,0 +1,65 @@
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def dataset_dir(tmp_path):
+    rng = np.random.default_rng(0)
+    root = tmp_path / "dataset" / "tinyds"
+    root.mkdir(parents=True)
+    with open(root / "train.txt", "w") as f:
+        for u in range(50):
+            items = rng.choice(70, size=6, replace=False)
+            f.write(f"{u} " + " ".join(map(str, items)) + "\n")
+    with open(root / "test.txt", "w") as f:
+        for u in range(50):
+            items = rng.choice(70, size=2, replace=False)
+            f.write(f"{u} " + " ".join(map(str, items)) + "\n")
+    return tmp_path
+
+
+def test_cli_end_to_end(dataset_dir, tmp_path, capsys):
+    from idgrec_tpu.main import main
+
+    code = main([
+        "--model=MFBPR",
+        f"--dataset_path={dataset_dir}/dataset/",
+        "--dataset=tinyds",
+        f"--log_dir={tmp_path}/log",
+        "--epochs=2",
+    ])
+    assert code == 0
+    out = capsys.readouterr().out
+    assert "Best epoch:" in out
+    assert (tmp_path / "log" / "MFBPR" / "tinyds.log").exists()
+
+
+def test_cli_unknown_model_lists_and_errors(dataset_dir, capsys, monkeypatch):
+    import sys
+
+    from idgrec_tpu.main import main
+
+    monkeypatch.setattr(sys.stdin, "isatty", lambda: False)
+    code = main([f"--dataset_path={dataset_dir}/dataset/", "--dataset=tinyds"])
+    assert code == 2
+    out = capsys.readouterr().out
+    assert "LightGCN" in out and "MFBPR" in out
+
+
+def test_cli_checkpoint_resume(dataset_dir, tmp_path, capsys):
+    from idgrec_tpu.main import main
+
+    ck = f"{tmp_path}/ck"
+    args = [
+        "--model=MFBPR",
+        f"--dataset_path={dataset_dir}/dataset/",
+        "--dataset=tinyds",
+        f"--log_dir={tmp_path}/log",
+        f"--checkpoint_dir={ck}",
+        "--epochs=2",
+    ]
+    assert main(args) == 0
+    # resume run: loads the checkpoint at epoch 2, nothing left to train
+    assert main(args) == 0
+    out = capsys.readouterr().out
+    assert "Best epoch:" in out

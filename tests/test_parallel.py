@@ -1,0 +1,79 @@
+"""Multi-device sharded training on the 8-virtual-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from idgrec_tpu.config import Config
+from idgrec_tpu.data.dataset import make_synthetic_dataset
+from idgrec_tpu.engine.loop import train_model
+from idgrec_tpu.parallel.mesh import make_mesh, param_shardings
+
+
+def _cfg(**over):
+    base = {
+        "dataset": "tiny", "top_K": "[3, 5]", "training_epochs": "3",
+        "early_stopping": "10", "interval": "1", "embedding_size": "16",
+        "batch_size": "64", "test_batch_size": "32", "learn_rate": "0.01",
+        "reg_lambda": "0.0001", "GCN_layer": "2",
+    }
+    base.update({k: str(v) for k, v in over.items()})
+    return Config(base)
+
+
+def test_mesh_shapes():
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(8)
+    assert mesh.shape["data"] * mesh.shape["model"] == 8
+    mesh2 = make_mesh(8, data_parallel=4)
+    assert mesh2.shape == {"data": 4, "model": 2}
+
+
+def test_param_shardings_divisibility():
+    mesh = make_mesh(8, data_parallel=2)  # model axis = 4
+    params = {
+        "divisible": jnp.zeros((16, 8)),
+        "indivisible": jnp.zeros((17, 8)),
+        "vector": jnp.zeros((16,)),
+    }
+    sh = param_shardings(params, mesh)
+    assert sh["divisible"].spec == P("model", None)
+    assert sh["indivisible"].spec == P()
+    assert sh["vector"].spec == P()
+
+
+def test_sharded_training_matches_single_device():
+    """The same seed must give (numerically close) identical training on
+    a 2x4 mesh and on a single device — sharding is an implementation
+    detail, not a semantic change."""
+    # divisible: users 64, items 64 by model=4; batch 64 by data=2
+    data = make_synthetic_dataset(64, 64, 1024, 128, seed=9, name="tiny")
+    mesh = make_mesh(8, data_parallel=2)
+    r_single = train_model("LightGCN", data, config=_cfg(), seed=3, log_dir=None, echo=False)
+    r_mesh = train_model(
+        "LightGCN", data, config=_cfg(), seed=3, log_dir=None, echo=False, mesh=mesh
+    )
+    for h1, h2 in zip(r_single.history, r_mesh.history):
+        l1 = float(h1["loss"].split(" = ")[0])
+        l2 = float(h2["loss"].split(" = ")[0])
+        np.testing.assert_allclose(l1, l2, rtol=2e-3, atol=1e-4)
+    np.testing.assert_allclose(r_single.best.recall, r_mesh.best.recall, atol=1e-6)
+    # tables ended up row-sharded
+    assert r_mesh.params["user_emb"].sharding.spec == P("model", None)
+
+
+def test_dryrun_multichip_entrypoint():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+    g.dryrun_multichip(2)
+
+
+def test_entry_compiles():
+    import __graft_entry__ as g
+
+    fn, example_args = g.entry()
+    out = jax.jit(fn)(*example_args)
+    assert np.isfinite(float(out))
