@@ -38,6 +38,8 @@ def main() -> None:
     parser.add_argument("--batch-size", type=int, default=2048)
     parser.add_argument("--layers", type=int, default=3)
     parser.add_argument("--emb", type=int, default=64)
+    parser.add_argument("--backend", default="auto",
+                        help="propagation backend: auto|dense|fused|bitpack|gather")
     args = parser.parse_args()
 
     import jax
@@ -71,6 +73,7 @@ def main() -> None:
         "learn_rate": "0.001",
         "reg_lambda": "0.0001",
         "GCN_layer": str(args.layers),
+        "propagation_backend": args.backend,
     })
 
     model = get_model("LightGCN")(cfg, data)

@@ -37,8 +37,27 @@ def _parse_interaction_file(path: str) -> tuple[np.ndarray, np.ndarray, np.ndarr
 
     Returns (unique_users, inter_users, inter_items, pos_lengths) where
     inter_* are the flattened (user, item) interaction pairs in file
-    order. Vectorized: one pass to split tokens, numpy conversions.
+    order. Uses the native mmap scanner (idgrec_tpu.data.native) when
+    available — ~20× the Python path at yelp2018 scale — with this
+    Python implementation as the fallback and the equivalence oracle.
     """
+    from idgrec_tpu.data import native
+
+    parsed = native.parse_ratings(path) if os.path.exists(path) else None
+    if parsed is not None:
+        inter_users, inter_items = parsed
+        # per-line positive counts = run lengths of the user column
+        # (reference format has one line per user)
+        if inter_users.size:
+            boundaries = np.flatnonzero(np.diff(inter_users) != 0) + 1
+            groups = np.split(inter_users, boundaries)
+            pos_lengths = [int(g.size) for g in groups]
+            unique_users = np.asarray([int(g[0]) for g in groups], np.int64)
+        else:
+            pos_lengths = []
+            unique_users = np.zeros(0, np.int64)
+        return unique_users, inter_users, inter_items, pos_lengths
+
     with open(path, "r") as f:
         raw = f.read()
 
@@ -335,10 +354,33 @@ def make_synthetic_dataset(
     # Zipf-like item popularity for realistic degree skew.
     item_p = (1.0 / np.arange(1, num_items + 1)) ** 0.8
     item_p /= item_p.sum()
-    train_user = rng.integers(0, num_users, num_train)
-    train_item = rng.choice(num_items, size=num_train, p=item_p)
-    test_user = rng.integers(0, num_users, num_test)
-    test_item = rng.choice(num_items, size=num_test, p=item_p)
+    def unique_pairs(n: int) -> tuple[np.ndarray, np.ndarray]:
+        """Sample n UNIQUE (user, item) pairs — reference train files
+        list each interaction once (data_loader.py:38-43), so the
+        interaction matrix is binary; duplicates would silently flip
+        the propagation backend off its binary fast path."""
+        total = num_users * num_items
+        n = min(n, total)
+        if total <= 4_000_000 and n > total // 8:
+            # near-saturation (tiny test graphs): skewed rejection
+            # sampling converges too slowly — sample pair ids exactly
+            flat = rng.choice(total, size=n, replace=False)
+            return flat // num_items, flat % num_items
+        users = np.empty(0, np.int64)
+        items = np.empty(0, np.int64)
+        while users.size < n:
+            k = int((n - users.size) * 1.2) + 16
+            u = rng.integers(0, num_users, k)
+            i = rng.choice(num_items, size=k, p=item_p)
+            users = np.concatenate([users, u])
+            items = np.concatenate([items, i])
+            _, idx = np.unique(users * num_items + items, return_index=True)
+            idx.sort()
+            users, items = users[idx], items[idx]
+        return users[:n], items[:n]
+
+    train_user, train_item = unique_pairs(num_train)
+    test_user, test_item = unique_pairs(num_test)
     return Dataset.from_pairs(
         train_user,
         train_item,

@@ -54,10 +54,18 @@ def _membership(
 class NegativeSampler:
     """Per-epoch negative sampling over the full interaction list."""
 
-    def __init__(self, data, rounds: int = 4):
+    def __init__(self, data, rounds: int | None = None):
         self.num_items = data.num_items
-        self.rounds = rounds
         max_deg = int(np.max(np.diff(data.row_ptr))) if data.nnz else 1
+        if rounds is None:
+            # enough resample rounds that the expected number of
+            # residual collisions per epoch is < 1e-6 even for the
+            # densest user (p = max_deg / num_items per draw)
+            p = min(max_deg / max(data.num_items, 1), 0.99)
+            n = max(data.num_train, 1)
+            rounds = int(np.ceil((np.log(1e-6) - np.log(n)) / np.log(p))) if p > 0 else 1
+            rounds = int(np.clip(rounds, 4, 64))
+        self.rounds = rounds
         self.search_iters = max(1, int(np.ceil(np.log2(max(max_deg, 2)))) + 1)
         # device-resident constants
         self.train_user = jnp.asarray(data.train_user, dtype=jnp.int32)

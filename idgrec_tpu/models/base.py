@@ -27,13 +27,17 @@ from idgrec_tpu.config import Config
 from idgrec_tpu.data.dataset import Dataset
 from idgrec_tpu.data.graph import SparseGraph
 from idgrec_tpu.ops.propagate import (
+    BitRectAdj,
+    BitSquareAdj,
     DenseRectAdj,
     DenseSquareAdj,
+    FusedSquareAdj,
     GatherRectAdj,
     GatherSquareAdj,
 )
 
-_ADJ_TYPES = (SparseGraph, DenseSquareAdj, DenseRectAdj, GatherSquareAdj, GatherRectAdj)
+_ADJ_TYPES = (SparseGraph, DenseSquareAdj, DenseRectAdj, GatherSquareAdj,
+              GatherRectAdj, BitSquareAdj, BitRectAdj, FusedSquareAdj)
 
 Params = Any
 State = Any

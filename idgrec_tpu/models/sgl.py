@@ -27,10 +27,9 @@ from idgrec_tpu.models.base import (
 from idgrec_tpu.models.registry import register
 from idgrec_tpu.ops import losses
 from idgrec_tpu.ops.propagate import (
-    _select_backend,
     build_adjacency,
-    build_binary_count_matrix,
     build_dropout_adjacency,
+    build_dropout_shared,
 )
 
 
@@ -54,12 +53,8 @@ class SGL(RecModel):
             raise ValueError(f"unknown aug_type {self.aug_type!r}")
         self.num_layers = config.int("GCN_layer")
         self.graph = build_adjacency(data, "sym", self.backend, compute_dtype=self.compute_dtype)
-        # shared binary matrix for dropout views (uploaded once)
-        self._m_bin = (
-            build_binary_count_matrix(data)
-            if _select_backend(data, self.backend) == "dense"
-            else None
-        )
+        # shared matrix state for dropout views (uploaded once)
+        self._m_bin = build_dropout_shared(data, self.backend)
 
     def epoch_context(self, params, state, epoch, np_rng):
         """Two augmented graphs per epoch (SGL.py:130-143); for 'rw'

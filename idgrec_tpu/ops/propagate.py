@@ -38,6 +38,7 @@ import numpy as np
 from idgrec_tpu.data.dataset import Dataset
 from idgrec_tpu.data import graph as graph_lib
 from idgrec_tpu.data.graph import SparseGraph
+from idgrec_tpu.ops import bitmm, fusedmm
 from idgrec_tpu.ops.spmm import spmm, spmm_transpose
 
 # dense backend memory budget for the int8 count matrix
@@ -239,6 +240,57 @@ class DenseDropSquareAdj:
         return jnp.concatenate([yu, yi], axis=0).astype(x.dtype)
 
 
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["packed", "packed_t", "left_u", "left_i", "right_u", "right_i",
+                      "du_rows", "du_cols", "du_vals", "di_rows", "di_cols", "di_vals"],
+         meta_fields=["num_users", "num_items", "interpret"])
+@dataclass(frozen=True)
+class BitDropSquareAdj:
+    """Edge-dropout adjacency over the SHARED bit-packed binary matrix:
+    Â' = L'·(M − D)·R' with D the dropped edges (~ratio·nnz), subtracted
+    with a sorted segment-sum after the packed sweeps (same scheme as
+    `DenseDropSquareAdj`, ~10% of nnz moved host→device per epoch)."""
+
+    packed: jnp.ndarray
+    packed_t: jnp.ndarray
+    left_u: jnp.ndarray
+    left_i: jnp.ndarray
+    right_u: jnp.ndarray
+    right_i: jnp.ndarray
+    du_rows: jnp.ndarray  # dropped edges sorted by user
+    du_cols: jnp.ndarray
+    du_vals: jnp.ndarray
+    di_rows: jnp.ndarray  # dropped edges sorted by item
+    di_cols: jnp.ndarray
+    di_vals: jnp.ndarray
+    num_users: int
+    num_items: int
+    interpret: bool = False
+
+    @property
+    def shape(self):
+        n = self.num_users + self.num_items
+        return (n, n)
+
+    def matmul(self, x: jnp.ndarray, gate: jnp.ndarray | None = None) -> jnp.ndarray:
+        assert gate is None, "gates unsupported on dropout adjacency"
+        xu, xi = x[: self.num_users], x[self.num_users :]
+        zu = self.right_u[:, None] * xu.astype(jnp.float32)
+        zi = self.right_i[:, None] * xi.astype(jnp.float32)
+        yu, yi = bitmm.bit_adj_matmul(self.packed, self.packed_t, zu, zi, self.interpret)
+        drop_u = jax.ops.segment_sum(
+            jnp.take(zi, self.du_cols, axis=0) * self.du_vals[:, None],
+            self.du_rows, num_segments=self.num_users, indices_are_sorted=True,
+        )
+        drop_i = jax.ops.segment_sum(
+            jnp.take(zu, self.di_cols, axis=0) * self.di_vals[:, None],
+            self.di_rows, num_segments=self.num_items, indices_are_sorted=True,
+        )
+        yu = self.left_u[:, None] * (yu - drop_u)
+        yi = self.left_i[:, None] * (yi - drop_i)
+        return jnp.concatenate([yu, yi], axis=0).astype(x.dtype)
+
+
 def build_binary_count_matrix(data: Dataset) -> jnp.ndarray:
     """Shared binary int8 [U, I] interaction matrix for dropout graphs
     (the reference's augmentation is binary — tools.py:70,80)."""
@@ -246,16 +298,165 @@ def build_binary_count_matrix(data: Dataset) -> jnp.ndarray:
     return jnp.asarray(np.minimum(m, 1))
 
 
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["packed", "packed_t", "left_u", "left_i", "right_u", "right_i",
+                      "diag_u", "diag_i"],
+         meta_fields=["num_users", "num_items", "has_diag", "interpret"])
+@dataclass(frozen=True)
+class BitSquareAdj:
+    """Square normalized adjacency diag(L)·[[0,M],[Mᵀ,0]]·diag(R)
+    (+ optional diag) with binary M stored bit-packed; both propagation
+    directions run as one Pallas sweep each (ops/bitmm.py) and the
+    backward pass reuses the same kernels with swapped cotangents."""
+
+    packed: jnp.ndarray    # int8 [U_pad/8, I_pad] = pack_rows(M)
+    packed_t: jnp.ndarray  # int8 [I_pad'/8, U_pad'] = pack_rows(Mᵀ)
+    left_u: jnp.ndarray    # f32 [U]
+    left_i: jnp.ndarray    # f32 [I]
+    right_u: jnp.ndarray   # f32 [U]
+    right_i: jnp.ndarray   # f32 [I]
+    diag_u: jnp.ndarray    # f32 [U] (zeros when no self loop)
+    diag_i: jnp.ndarray    # f32 [I]
+    num_users: int
+    num_items: int
+    has_diag: bool = False
+    interpret: bool = False  # run kernels interpreted (CPU tests)
+
+    @property
+    def shape(self):
+        n = self.num_users + self.num_items
+        return (n, n)
+
+    def matmul(self, x: jnp.ndarray, gate: jnp.ndarray | None = None) -> jnp.ndarray:
+        """Â @ x for x [U+I, d]; optional per-node multiplicative gate
+        (IMPGCN subgraphs) applied on both sides."""
+        xu, xi = x[: self.num_users], x[self.num_users :]
+        right_u, right_i = self.right_u, self.right_i
+        left_u, left_i = self.left_u, self.left_i
+        if gate is not None:
+            gu, gi = gate[: self.num_users], gate[self.num_users :]
+            right_u, right_i = right_u * gu, right_i * gi
+            left_u, left_i = left_u * gu, left_i * gi
+        zu = right_u[:, None] * xu.astype(jnp.float32)
+        zi = right_i[:, None] * xi.astype(jnp.float32)
+        yu, yi = bitmm.bit_adj_matmul(self.packed, self.packed_t, zu, zi, self.interpret)
+        yu = left_u[:, None] * yu
+        yi = left_i[:, None] * yi
+        if self.has_diag:
+            yu = yu + self.diag_u[:, None] * xu.astype(jnp.float32)
+            yi = yi + self.diag_i[:, None] * xi.astype(jnp.float32)
+        return jnp.concatenate([yu, yi], axis=0).astype(x.dtype)
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["m8", "left_u", "left_i", "right_u", "right_i", "diag_u", "diag_i"],
+         meta_fields=["num_users", "num_items", "has_diag", "interpret"])
+@dataclass(frozen=True)
+class FusedSquareAdj:
+    """Square normalized adjacency over int8 M with BOTH directions
+    computed by one Pallas sweep of M per application (ops/fusedmm.py):
+    halves adjacency HBM traffic vs. the two-matmul dense backend."""
+
+    m8: jnp.ndarray       # int8 [U_pad, I_pad] from fusedmm.pad_matrix
+    left_u: jnp.ndarray   # f32 [U]
+    left_i: jnp.ndarray   # f32 [I]
+    right_u: jnp.ndarray  # f32 [U]
+    right_i: jnp.ndarray  # f32 [I]
+    diag_u: jnp.ndarray   # f32 [U]
+    diag_i: jnp.ndarray   # f32 [I]
+    num_users: int
+    num_items: int
+    has_diag: bool = False
+    interpret: bool = False
+
+    @property
+    def shape(self):
+        n = self.num_users + self.num_items
+        return (n, n)
+
+    def matmul(self, x: jnp.ndarray, gate: jnp.ndarray | None = None) -> jnp.ndarray:
+        xu, xi = x[: self.num_users], x[self.num_users :]
+        right_u, right_i = self.right_u, self.right_i
+        left_u, left_i = self.left_u, self.left_i
+        if gate is not None:
+            gu, gi = gate[: self.num_users], gate[self.num_users :]
+            right_u, right_i = right_u * gu, right_i * gi
+            left_u, left_i = left_u * gu, left_i * gi
+        zu = right_u[:, None] * xu.astype(jnp.float32)
+        zi = right_i[:, None] * xi.astype(jnp.float32)
+        yu, yi = fusedmm.fused_adj_matmul(self.m8, zu, zi, self.interpret)
+        yu = left_u[:, None] * yu
+        yi = left_i[:, None] * yi
+        if self.has_diag:
+            yu = yu + self.diag_u[:, None] * xu.astype(jnp.float32)
+            yi = yi + self.diag_i[:, None] * xi.astype(jnp.float32)
+        return jnp.concatenate([yu, yi], axis=0).astype(x.dtype)
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["packed", "packed_t", "left", "right"],
+         meta_fields=["num_users", "num_items", "interpret"])
+@dataclass(frozen=True)
+class BitRectAdj:
+    """Rectangular R̃ = diag(left)·M·diag(right) [U, I], bit-packed."""
+
+    packed: jnp.ndarray
+    packed_t: jnp.ndarray
+    left: jnp.ndarray   # f32 [U]
+    right: jnp.ndarray  # f32 [I]
+    num_users: int
+    num_items: int
+    interpret: bool = False
+
+    @property
+    def shape(self):
+        return (self.num_users, self.num_items)
+
+    def matmul(self, xi: jnp.ndarray) -> jnp.ndarray:
+        z = self.right[:, None] * xi.astype(jnp.float32)
+        y = bitmm.bit_matmul(self.packed, self.packed_t, z, self.num_users, self.interpret)
+        return (self.left[:, None] * y).astype(xi.dtype)
+
+    def t_matmul(self, xu: jnp.ndarray) -> jnp.ndarray:
+        z = self.left[:, None] * xu.astype(jnp.float32)
+        y = bitmm.bit_matmul(self.packed_t, self.packed, z, self.num_items, self.interpret)
+        return (self.right[:, None] * y).astype(xu.dtype)
+
+
 # ---------------------------------------------------------------------------
 # Builders
 
 
+def _is_binary(data: Dataset) -> bool:
+    return bool(np.all(data.csr_vals == 1))
+
+
 def _select_backend(data: Dataset, backend: str) -> str:
+    """'auto' picks dense when the int8 count matrix fits, else gather.
+
+    'bitpack' (8× smaller storage) is opt-in: measured on a v5e chip the
+    VPU bit-unpack (~3 vector ops per unpacked element ≈ 4ms per full
+    sweep at yelp2018 scale) costs more than the int8 HBM reads it
+    saves (~1.6ms per sweep), so it only wins when HBM capacity — not
+    bandwidth — is the binding constraint (graphs ~8× over the dense
+    budget).
+    """
     if backend == "auto":
         return "dense" if _dense_fits(data) else "gather"
-    if backend not in ("dense", "gather"):
+    if backend not in ("bitpack", "dense", "fused", "gather"):
         raise ValueError(f"unknown propagation backend {backend!r}")
     return backend
+
+
+def _pack_pair(data: Dataset) -> tuple[jnp.ndarray, jnp.ndarray]:
+    m = _count_matrix_int8(data)
+    p, pt = bitmm.pack_pair(m)
+    return jnp.asarray(p), jnp.asarray(pt)
+
+
+def _bitpack_interpret() -> bool:
+    """Pallas kernels run interpreted off-TPU (CPU tests / dryrun)."""
+    return jax.default_backend() not in ("tpu", "axon")
 
 
 def build_adjacency(
@@ -283,27 +484,40 @@ def build_adjacency(
             )
         raise ValueError(variant)
 
-    m = jnp.asarray(_count_matrix_int8(data))
     du, di = graph_lib._degrees(data)
     nu, ni = data.num_users, data.num_items
     zeros_u = jnp.zeros(nu, jnp.float32)
     zeros_i = jnp.zeros(ni, jnp.float32)
     if variant == "sym":
         lu, li = _inv_pow_vec(du, 0.5), _inv_pow_vec(di, 0.5)
-        return DenseSquareAdj(m, lu, li, lu, li, zeros_u, zeros_i, nu, ni, compute_dtype)
-    if variant == "self":
+        ru, ri = lu, li
+        diag_u, diag_i, has_diag = zeros_u, zeros_i, False
+    elif variant == "self":
         lu, li = _inv_pow_vec(du + 1.0, 0.5), _inv_pow_vec(di + 1.0, 0.5)
+        ru, ri = lu, li
         diag_u = jnp.asarray(1.0 / (du + 1.0), jnp.float32)
         diag_i = jnp.asarray(1.0 / (di + 1.0), jnp.float32)
-        return DenseSquareAdj(m, lu, li, lu, li, diag_u, diag_i, nu, ni, compute_dtype, True)
-    if variant == "gen":
-        return DenseSquareAdj(
-            m,
-            _inv_pow_vec(du, alpha), _inv_pow_vec(di, alpha),
-            _inv_pow_vec(du, beta), _inv_pow_vec(di, beta),
-            zeros_u, zeros_i, nu, ni, compute_dtype,
-        )
-    raise ValueError(variant)
+        has_diag = True
+    elif variant == "gen":
+        lu, li = _inv_pow_vec(du, alpha), _inv_pow_vec(di, alpha)
+        ru, ri = _inv_pow_vec(du, beta), _inv_pow_vec(di, beta)
+        diag_u, diag_i, has_diag = zeros_u, zeros_i, False
+    else:
+        raise ValueError(variant)
+
+    if backend == "bitpack":
+        if not _is_binary(data):
+            raise ValueError("bitpack backend requires binary interaction counts")
+        p, pt = _pack_pair(data)
+        return BitSquareAdj(p, pt, lu, li, ru, ri, diag_u, diag_i,
+                            nu, ni, has_diag, _bitpack_interpret())
+    if backend == "fused":
+        m8 = jnp.asarray(fusedmm.pad_matrix(_count_matrix_int8(data)))
+        return FusedSquareAdj(m8, lu, li, ru, ri, diag_u, diag_i,
+                              nu, ni, has_diag, _bitpack_interpret())
+    m = jnp.asarray(_count_matrix_int8(data))
+    return DenseSquareAdj(m, lu, li, ru, ri, diag_u, diag_i, nu, ni,
+                          compute_dtype, has_diag)
 
 
 def build_rect_adjacency(
@@ -313,33 +527,54 @@ def build_rect_adjacency(
     backend = _select_backend(data, backend)
     if backend == "gather":
         return GatherRectAdj(graph_lib.normalized_rectangular(data))
-    m = jnp.asarray(_count_matrix_int8(data))
     du, di = graph_lib._degrees(data)
+    if backend == "bitpack":
+        if not _is_binary(data):
+            raise ValueError("bitpack backend requires binary interaction counts")
+        p, pt = _pack_pair(data)
+        return BitRectAdj(
+            p, pt, _inv_pow_vec(du, 0.5), _inv_pow_vec(di, 0.5),
+            data.num_users, data.num_items, _bitpack_interpret(),
+        )
+    m = jnp.asarray(_count_matrix_int8(data))
     return DenseRectAdj(
         m, _inv_pow_vec(du, 0.5), _inv_pow_vec(di, 0.5),
         data.num_users, data.num_items, compute_dtype,
     )
 
 
+def build_dropout_shared(data: Dataset, backend: str = "auto"):
+    """Per-model shared state for `build_dropout_adjacency` (uploaded
+    once, reused every epoch): the binary matrix for 'dense', the
+    packed pair for 'bitpack', None for 'gather'."""
+    backend = _select_backend(data, backend)
+    if backend in ("dense", "fused"):
+        # the dropout-correction path runs on the dense binary matrix
+        return build_binary_count_matrix(data)
+    if backend == "bitpack":
+        return _pack_pair(data)
+    return None
+
+
 def build_dropout_adjacency(
     data: Dataset, drop_ratio: float, np_rng: np.random.Generator,
     backend: str = "auto", compute_dtype: str = "bfloat16",
-    m_bin: jnp.ndarray | None = None,
+    m_bin=None,
 ):
     """SGL-style per-epoch edge-dropout adjacency (tools.py:67-92):
     keep (1-ratio)·E unique edges, renormalize symmetrically. Shapes and
-    pytree structure are stable across epochs for both backends.
+    pytree structure are stable across epochs for all backends.
 
-    For the dense backend, pass a shared ``m_bin`` from
-    `build_binary_count_matrix` so only the dropped-edge list (~10% of
-    nnz) moves host→device each epoch, not the dense matrix.
+    For the dense/bitpack backends, pass a shared ``m_bin`` from
+    `build_dropout_shared` so only the dropped-edge list (~10% of
+    nnz) moves host→device each epoch, not the full matrix.
     """
     backend = _select_backend(data, backend)
     if backend == "gather":
         return GatherSquareAdj(graph_lib.edge_dropout_adjacency(data, drop_ratio, np_rng))
 
     if m_bin is None:
-        m_bin = build_binary_count_matrix(data)
+        m_bin = build_dropout_shared(data, backend)
     users = np.repeat(np.arange(data.num_users, dtype=np.int64), np.diff(data.row_ptr))
     items = data.col_idx.astype(np.int64)
     nnz = users.size
@@ -373,6 +608,13 @@ def build_dropout_adjacency(
     nu, ni = data.num_users, data.num_items
     scale_u = _inv_pow_vec(du, 0.5)
     scale_i = _inv_pow_vec(di, 0.5)
+    if backend == "bitpack":
+        packed, packed_t = m_bin
+        return BitDropSquareAdj(
+            packed, packed_t, scale_u, scale_i, scale_u, scale_i,
+            du_rows, du_cols, du_vals, di_rows, di_cols, di_vals,
+            nu, ni, _bitpack_interpret(),
+        )
     return DenseDropSquareAdj(
         m_bin, scale_u, scale_i, scale_u, scale_i,
         du_rows, du_cols, du_vals, di_rows, di_cols, di_vals,

@@ -63,13 +63,17 @@ def param_shardings(params, mesh: Mesh):
     """Row-shard embedding-like [N, d] tables over the model axis;
     replicate small/odd-shaped leaves.
 
-    Rows must divide the model axis size — pad tables beforehand if
-    needed (engine handles this when building sharded runs).
+    Uneven row counts are fine: GSPMD pads the trailing shard
+    internally, so real-scale tables (e.g. yelp2018's 31,668 users)
+    shard over any model-axis size without explicit padding. This also
+    reaches the dense int8 interaction matrix inside adjacency pytrees,
+    which is what makes multi-chip propagation read 1/model_size of the
+    matrix per chip.
     """
     model_size = mesh.shape["model"]
 
     def spec(x):
-        if hasattr(x, "ndim") and x.ndim == 2 and x.shape[0] % model_size == 0 and x.shape[0] >= model_size:
+        if hasattr(x, "ndim") and x.ndim == 2 and x.shape[0] >= 2 * model_size:
             return NamedSharding(mesh, P("model", None))
         return NamedSharding(mesh, P())
 

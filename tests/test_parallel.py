@@ -35,12 +35,14 @@ def test_param_shardings_divisibility():
     mesh = make_mesh(8, data_parallel=2)  # model axis = 4
     params = {
         "divisible": jnp.zeros((16, 8)),
-        "indivisible": jnp.zeros((17, 8)),
+        "indivisible": jnp.zeros((17, 8)),  # GSPMD pads uneven shards
+        "too_small": jnp.zeros((7, 8)),
         "vector": jnp.zeros((16,)),
     }
     sh = param_shardings(params, mesh)
     assert sh["divisible"].spec == P("model", None)
-    assert sh["indivisible"].spec == P()
+    assert sh["indivisible"].spec == P("model", None)
+    assert sh["too_small"].spec == P()
     assert sh["vector"].spec == P()
 
 

@@ -92,3 +92,131 @@ def test_under_jit_and_device_put(tiny_dataset, rng):
 
     y = f(dense, x)
     assert y.shape == x.shape
+
+
+# ---------------------------------------------------------------------------
+# bitpack (Pallas, interpreted on CPU) backend equivalence
+
+
+@pytest.mark.parametrize("variant", ["sym", "self", "gen"])
+def test_bitpack_matches_gather_square(tiny_dataset, rng, variant):
+    kw = {"alpha": 0.6, "beta": -0.1} if variant == "gen" else {}
+    bit = build_adjacency(tiny_dataset, variant, "bitpack", **kw)
+    gather = build_adjacency(tiny_dataset, variant, "gather", **kw)
+    x = _x(tiny_dataset, rng)
+    np.testing.assert_allclose(
+        np.asarray(bit.matmul(x)), np.asarray(gather.matmul(x)), rtol=2e-2, atol=2e-2
+    )
+
+
+def test_bitpack_matches_gather_rect(tiny_dataset, rng):
+    bit = build_rect_adjacency(tiny_dataset, "bitpack")
+    gather = build_rect_adjacency(tiny_dataset, "gather")
+    xi = _x(tiny_dataset, rng, square=False)
+    np.testing.assert_allclose(
+        np.asarray(bit.matmul(xi)), np.asarray(gather.matmul(xi)), rtol=2e-2, atol=2e-2
+    )
+    xu = jnp.asarray(rng.normal(size=(tiny_dataset.num_users, 8)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(bit.t_matmul(xu)), np.asarray(gather.t_matmul(xu)), rtol=2e-2, atol=2e-2
+    )
+
+
+def test_bitpack_gradient_matches_gather(tiny_dataset, rng):
+    bit = build_adjacency(tiny_dataset, "sym", "bitpack")
+    gather = build_adjacency(tiny_dataset, "sym", "gather")
+    x = _x(tiny_dataset, rng)
+    w = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+    g_bit = jax.grad(lambda x: jnp.sum(bit.matmul(x) * w))(x)
+    g_gather = jax.grad(lambda x: jnp.sum(gather.matmul(x) * w))(x)
+    np.testing.assert_allclose(np.asarray(g_bit), np.asarray(g_gather), rtol=2e-2, atol=2e-2)
+
+
+def test_bitpack_rect_gradients(tiny_dataset, rng):
+    bit = build_rect_adjacency(tiny_dataset, "bitpack")
+    gather = build_rect_adjacency(tiny_dataset, "gather")
+    xi = _x(tiny_dataset, rng, square=False)
+    w = jnp.asarray(rng.normal(size=(tiny_dataset.num_users, 8)).astype(np.float32))
+    g_bit = jax.grad(lambda v: jnp.sum(bit.matmul(v) * w))(xi)
+    g_gather = jax.grad(lambda v: jnp.sum(gather.matmul(v) * w))(xi)
+    np.testing.assert_allclose(np.asarray(g_bit), np.asarray(g_gather), rtol=2e-2, atol=2e-2)
+
+
+def test_bitpack_gate_matches_gather(tiny_dataset, rng):
+    bit = build_adjacency(tiny_dataset, "sym", "bitpack")
+    gather = build_adjacency(tiny_dataset, "sym", "gather")
+    x = _x(tiny_dataset, rng)
+    gate = jnp.asarray((rng.random(tiny_dataset.num_nodes) < 0.6).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(bit.matmul(x, gate=gate)),
+        np.asarray(gather.matmul(x, gate=gate)),
+        rtol=2e-2, atol=2e-2,
+    )
+
+
+def test_bitpack_dropout_matches_gather(tiny_dataset):
+    b = build_dropout_adjacency(tiny_dataset, 0.3, np.random.default_rng(7), "bitpack")
+    g = build_dropout_adjacency(tiny_dataset, 0.3, np.random.default_rng(7), "gather")
+    x = _x(tiny_dataset, np.random.default_rng(1))
+    np.testing.assert_allclose(np.asarray(b.matmul(x)), np.asarray(g.matmul(x)), rtol=2e-2, atol=2e-2)
+
+
+def test_bitpack_under_jit_and_device_put(tiny_dataset, rng):
+    bit = jax.device_put(build_adjacency(tiny_dataset, "sym", "bitpack"))
+    x = _x(tiny_dataset, rng)
+
+    @jax.jit
+    def f(adj, x):
+        return adj.matmul(x)
+
+    y = f(bit, x)
+    assert y.shape == x.shape
+
+
+# ---------------------------------------------------------------------------
+# fused dual-direction (Pallas, interpreted on CPU) backend equivalence
+
+
+@pytest.mark.parametrize("variant", ["sym", "self", "gen"])
+def test_fused_matches_gather_square(tiny_dataset, rng, variant):
+    kw = {"alpha": 0.6, "beta": -0.1} if variant == "gen" else {}
+    fused = build_adjacency(tiny_dataset, variant, "fused", **kw)
+    gather = build_adjacency(tiny_dataset, variant, "gather", **kw)
+    x = _x(tiny_dataset, rng)
+    np.testing.assert_allclose(
+        np.asarray(fused.matmul(x)), np.asarray(gather.matmul(x)), rtol=2e-2, atol=2e-2
+    )
+
+
+def test_fused_gradient_matches_gather(tiny_dataset, rng):
+    fused = build_adjacency(tiny_dataset, "sym", "fused")
+    gather = build_adjacency(tiny_dataset, "sym", "gather")
+    x = _x(tiny_dataset, rng)
+    w = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+    g_f = jax.grad(lambda x: jnp.sum(fused.matmul(x) * w))(x)
+    g_g = jax.grad(lambda x: jnp.sum(gather.matmul(x) * w))(x)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_g), rtol=2e-2, atol=2e-2)
+
+
+def test_fused_gate_matches_gather(tiny_dataset, rng):
+    fused = build_adjacency(tiny_dataset, "sym", "fused")
+    gather = build_adjacency(tiny_dataset, "sym", "gather")
+    x = _x(tiny_dataset, rng)
+    gate = jnp.asarray((rng.random(tiny_dataset.num_nodes) < 0.6).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(fused.matmul(x, gate=gate)),
+        np.asarray(gather.matmul(x, gate=gate)),
+        rtol=2e-2, atol=2e-2,
+    )
+
+
+def test_fused_under_jit_and_device_put(tiny_dataset, rng):
+    fused = jax.device_put(build_adjacency(tiny_dataset, "sym", "fused"))
+    x = _x(tiny_dataset, rng)
+
+    @jax.jit
+    def f(adj, x):
+        return adj.matmul(x)
+
+    y = f(fused, x)
+    assert y.shape == x.shape
