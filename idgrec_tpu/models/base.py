@@ -235,6 +235,50 @@ def lightgcn_propagate(
     raise ValueError(f"unknown reduce {reduce!r}")
 
 
+def lightgcn_propagate_rows(
+    graph,
+    emb0: jnp.ndarray,
+    num_layers: int,
+    rows_u: jnp.ndarray,
+    rows_i: jnp.ndarray,
+    num_users: int,
+    include_layer0: bool = True,
+    reduce: str = "mean",
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """`lightgcn_propagate` restricted to selected output rows — exact
+    same math, but the LAST layer runs as a batch-row partial matmul
+    (graph.matmul_rows), so one full fwd application and (through
+    autodiff) one full bwd application per step are replaced by
+    O(B·N·d) partials. Returns (user_rows_final, item_rows_final).
+
+    Requires graph.supports_rows (dense backend with a stored
+    transpose); callers fall back to full propagation otherwise.
+    """
+    if num_layers == 0:
+        full = lightgcn_propagate(graph, emb0, 0, include_layer0, reduce)
+        return full[rows_u], full[num_users + rows_i]
+    layers_u = []
+    layers_i = []
+    h = emb0
+    if include_layer0:
+        layers_u.append(h[rows_u])
+        layers_i.append(h[num_users + rows_i])
+    for _ in range(num_layers - 1):
+        h = graph.matmul(h)
+        layers_u.append(h[rows_u])
+        layers_i.append(h[num_users + rows_i])
+    yu, yi = graph.matmul_rows(h, rows_u, rows_i)
+    layers_u.append(yu)
+    layers_i.append(yi)
+    su = jnp.stack(layers_u, axis=0)
+    si = jnp.stack(layers_i, axis=0)
+    if reduce == "mean":
+        return jnp.mean(su, axis=0), jnp.mean(si, axis=0)
+    if reduce == "sum":
+        return jnp.sum(su, axis=0), jnp.sum(si, axis=0)
+    raise ValueError(f"unknown reduce {reduce!r}")
+
+
 def lightgcn_layer_outputs(
     graph, emb0: jnp.ndarray, num_layers: int
 ) -> list[jnp.ndarray]:

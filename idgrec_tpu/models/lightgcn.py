@@ -13,11 +13,14 @@ training epoch runs inside one jitted `lax.scan`.
 
 from __future__ import annotations
 
+import jax.numpy as jnp
+
 from idgrec_tpu.ops.propagate import build_adjacency
 from idgrec_tpu.models.base import (
     RecModel,
     concat_user_item,
     lightgcn_propagate,
+    lightgcn_propagate_rows,
     split_user_item,
 )
 from idgrec_tpu.models.registry import register
@@ -32,19 +35,42 @@ class LightGCN(RecModel):
         super().__init__(config, data)
         self.reg_lambda = config.float("reg_lambda")
         self.num_layers = config.int("GCN_layer")
-        self.graph = build_adjacency(data, "sym", self.backend, compute_dtype=self.compute_dtype)
+        # batch-row partial propagation (ops/gathermm.py) is opt-in:
+        # measured on v5e, per-row DMA descriptors cost ~1µs each,
+        # capping row gathers at ~12-38 GB/s — slower than simply
+        # recomputing the full-graph application it would replace
+        self.batch_rows = config.int("batch_rows_propagation", 0) == 1
+        self.graph = build_adjacency(
+            data, "sym", self.backend, compute_dtype=self.compute_dtype,
+            with_transpose=self.batch_rows,
+        )
 
     def propagate(self, params):
         emb0 = concat_user_item(params)
         final = lightgcn_propagate(self.graph, emb0, self.num_layers)
         return split_user_item(final, self.num_users)
 
-    def loss_terms(self, params, state, ctx, batch, rng, epoch):
+    def _batch_final(self, params, batch):
+        """Final embeddings for exactly the batch rows. When the graph
+        supports row-partial products, the last layer (and, through
+        autodiff, the first backward application) runs at O(B·N·d)
+        instead of a full-graph application — same math to f32
+        round-off (tests/test_propagate.py pins the equivalence)."""
+        emb0 = concat_user_item(params)
+        if self.batch_rows and getattr(self.graph, "supports_rows", False):
+            rows_i = jnp.concatenate([batch["pos"], batch["neg"]])
+            u_final, i_final = lightgcn_propagate_rows(
+                self.graph, emb0, self.num_layers, batch["user"], rows_i,
+                self.num_users,
+            )
+            pos_e, neg_e = jnp.split(i_final, 2, axis=0)
+            return u_final, pos_e, neg_e
         user_all, item_all = self.propagate(params)
+        return (user_all[batch["user"]], item_all[batch["pos"]],
+                item_all[batch["neg"]])
 
-        user_e = user_all[batch["user"]]
-        pos_e = item_all[batch["pos"]]
-        neg_e = item_all[batch["neg"]]
+    def loss_terms(self, params, state, ctx, batch, rng, epoch):
+        user_e, pos_e, neg_e = self._batch_final(params, batch)
 
         ego_user = params["user_emb"][batch["user"]]
         ego_pos = params["item_emb"][batch["pos"]]

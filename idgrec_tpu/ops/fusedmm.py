@@ -100,7 +100,7 @@ def _fused_call(m8: jnp.ndarray, zu_pad: jnp.ndarray, zi_pad: jnp.ndarray,
         ],
         out_specs=(
             pl.BlockSpec((TU, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # whole-array HBM output
+            pl.BlockSpec(memory_space=pl.ANY),  # whole-array HBM output
         ),
         out_shape=(
             jax.ShapeDtypeStruct((u_pad, d), jnp.float32),

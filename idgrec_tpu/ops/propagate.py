@@ -38,7 +38,7 @@ import numpy as np
 from idgrec_tpu.data.dataset import Dataset
 from idgrec_tpu.data import graph as graph_lib
 from idgrec_tpu.data.graph import SparseGraph
-from idgrec_tpu.ops import bitmm, fusedmm
+from idgrec_tpu.ops import bitmm, fusedmm, gathermm
 from idgrec_tpu.ops.spmm import spmm, spmm_transpose
 
 # dense backend memory budget for the int8 count matrix
@@ -49,11 +49,27 @@ def _dense_fits(data: Dataset, budget: int = DENSE_BYTES_BUDGET) -> bool:
     return data.num_users * data.num_items <= budget
 
 
+# dense matrices are zero-padded to this row/col multiple so they shard
+# evenly over any mesh model-axis size up to 128 (parallel/mesh.py)
+_PAD = 128
+
+
+def _pad_up(x: int, m: int = _PAD) -> int:
+    return -(-x // m) * m
+
+
 def _count_matrix_int8(data: Dataset) -> np.ndarray:
+    """Int8 interaction-count matrix, zero-padded to 128-multiples in
+    both dims (padding rows/cols contribute nothing to propagation and
+    make the array mesh-shardable for any model-axis size ≤ 128)."""
     users = np.repeat(np.arange(data.num_users, dtype=np.int64), np.diff(data.row_ptr))
-    m = np.zeros((data.num_users, data.num_items), np.int8)
+    m = np.zeros((_pad_up(data.num_users), _pad_up(data.num_items)), np.int8)
     m[users, data.col_idx] = np.minimum(data.csr_vals, 127).astype(np.int8)
     return m
+
+
+def _pad_rows(x: jnp.ndarray, rows: int) -> jnp.ndarray:
+    return jnp.pad(x, ((0, rows - x.shape[0]), (0, 0)))
 
 
 def _inv_pow_vec(x: np.ndarray, p: float) -> jnp.ndarray:
@@ -61,7 +77,8 @@ def _inv_pow_vec(x: np.ndarray, p: float) -> jnp.ndarray:
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["m", "left_u", "left_i", "right_u", "right_i", "diag_u", "diag_i"],
+         data_fields=["m", "left_u", "left_i", "right_u", "right_i", "diag_u", "diag_i",
+                      "row3"],
          meta_fields=["num_users", "num_items", "compute_dtype_name", "has_diag"])
 @dataclass(frozen=True)
 class DenseSquareAdj:
@@ -78,11 +95,49 @@ class DenseSquareAdj:
     num_items: int
     compute_dtype_name: str = "bfloat16"
     has_diag: bool = False
+    # optional 3-D row-gather copies (M and M^T in gathermm.pack_rows3
+    # layout): enables `matmul_rows`; built with
+    # build_adjacency(..., with_transpose=True)
+    row3: tuple | None = None
 
     @property
     def shape(self):
         n = self.num_users + self.num_items
         return (n, n)
+
+    @property
+    def supports_rows(self) -> bool:
+        return self.row3 is not None
+
+    def matmul_rows(
+        self, x: jnp.ndarray, rows_u: jnp.ndarray, rows_i: jnp.ndarray
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Selected rows of Â @ x: (yu[rows_u], yi[rows_i]).
+
+        Exact slices of `matmul`'s output computed with row-gathered
+        partial matmuls — O(B·N·d) instead of O(U·I·d). Used for the
+        LAST propagation layer of batch-row losses (only batch rows of
+        the final layer are consumed, so the full product is wasted
+        work — and autodiff of this op likewise replaces the FIRST
+        backward application with its partial transpose).
+        """
+        assert self.row3 is not None, "build the adjacency with with_transpose=True"
+        m_r3, m_t3 = self.row3
+        cdt = jnp.dtype(self.compute_dtype_name)
+        xu, xi = x[: self.num_users], x[self.num_users :]
+        zi = (self.right_i[:, None] * xi.astype(jnp.float32)).astype(cdt)
+        zu = (self.right_u[:, None] * xu.astype(jnp.float32)).astype(cdt)
+        # Pallas row-gather matmuls: per-row DMA + MXU (XLA's generic
+        # int8 gather runs far below DMA bandwidth — ops/gathermm.py)
+        interp = _bitpack_interpret()
+        yu = self.left_u[rows_u, None] * gathermm.gather_matmul(
+            m_r3, rows_u, zi, interp)
+        yi = self.left_i[rows_i, None] * gathermm.gather_matmul(
+            m_t3, rows_i, zu, interp)
+        if self.has_diag:
+            yu = yu + self.diag_u[rows_u, None] * xu[rows_u].astype(jnp.float32)
+            yi = yi + self.diag_i[rows_i, None] * xi[rows_i].astype(jnp.float32)
+        return yu.astype(x.dtype), yi.astype(x.dtype)
 
     def matmul(self, x: jnp.ndarray, gate: jnp.ndarray | None = None) -> jnp.ndarray:
         """Â @ x for x [U+I, d]. Optional per-node multiplicative gate
@@ -96,10 +151,11 @@ class DenseSquareAdj:
             right_u, right_i = right_u * gu, right_i * gi
             left_u, left_i = left_u * gu, left_i * gi
         mm = self.m.astype(cdt)
-        zi = (right_i[:, None] * xi.astype(jnp.float32)).astype(cdt)
-        zu = (right_u[:, None] * xu.astype(jnp.float32)).astype(cdt)
-        yu = left_u[:, None] * jnp.matmul(mm, zi, preferred_element_type=jnp.float32)
-        yi = left_i[:, None] * jnp.matmul(mm.T, zu, preferred_element_type=jnp.float32)
+        u_pad, i_pad = self.m.shape
+        zi = _pad_rows((right_i[:, None] * xi.astype(jnp.float32)).astype(cdt), i_pad)
+        zu = _pad_rows((right_u[:, None] * xu.astype(jnp.float32)).astype(cdt), u_pad)
+        yu = left_u[:, None] * jnp.matmul(mm, zi, preferred_element_type=jnp.float32)[: self.num_users]
+        yi = left_i[:, None] * jnp.matmul(mm.T, zu, preferred_element_type=jnp.float32)[: self.num_items]
         if self.has_diag:
             yu = yu + self.diag_u[:, None] * xu.astype(jnp.float32)
             yi = yi + self.diag_i[:, None] * xi.astype(jnp.float32)
@@ -126,18 +182,18 @@ class DenseRectAdj:
 
     def matmul(self, xi: jnp.ndarray) -> jnp.ndarray:
         cdt = jnp.dtype(self.compute_dtype_name)
-        z = (self.right[:, None] * xi.astype(jnp.float32)).astype(cdt)
+        z = _pad_rows((self.right[:, None] * xi.astype(jnp.float32)).astype(cdt), self.m.shape[1])
         y = self.left[:, None] * jnp.matmul(
             self.m.astype(cdt), z, preferred_element_type=jnp.float32
-        )
+        )[: self.num_users]
         return y.astype(xi.dtype)
 
     def t_matmul(self, xu: jnp.ndarray) -> jnp.ndarray:
         cdt = jnp.dtype(self.compute_dtype_name)
-        z = (self.left[:, None] * xu.astype(jnp.float32)).astype(cdt)
+        z = _pad_rows((self.left[:, None] * xu.astype(jnp.float32)).astype(cdt), self.m.shape[0])
         y = self.right[:, None] * jnp.matmul(
             self.m.T.astype(cdt), z, preferred_element_type=jnp.float32
-        )
+        )[: self.num_items]
         return y.astype(xu.dtype)
 
 
@@ -224,8 +280,11 @@ class DenseDropSquareAdj:
         zi = self.right_i[:, None] * xi.astype(jnp.float32)
         zu = self.right_u[:, None] * xu.astype(jnp.float32)
         mm = self.m_bin.astype(cdt)
-        yu = jnp.matmul(mm, zi.astype(cdt), preferred_element_type=jnp.float32)
-        yi = jnp.matmul(mm.T, zu.astype(cdt), preferred_element_type=jnp.float32)
+        u_pad, i_pad = self.m_bin.shape
+        yu = jnp.matmul(mm, _pad_rows(zi.astype(cdt), i_pad),
+                        preferred_element_type=jnp.float32)[: self.num_users]
+        yi = jnp.matmul(mm.T, _pad_rows(zu.astype(cdt), u_pad),
+                        preferred_element_type=jnp.float32)[: self.num_items]
         # subtract dropped edges
         drop_u = jax.ops.segment_sum(
             jnp.take(zi, self.du_cols, axis=0) * self.du_vals[:, None],
@@ -466,11 +525,16 @@ def build_adjacency(
     alpha: float | None = None,
     beta: float | None = None,
     compute_dtype: str = "bfloat16",
+    with_transpose: bool = False,
 ):
     """Normalized square adjacency ops.
 
     variant: 'sym' (data_graph.py:33), 'self' (data_graph.py:7),
     'gen' with (alpha, beta) (LightGCN_pp.py:42).
+
+    with_transpose (dense backend): also store Mᵀ so `matmul_rows`
+    (batch-row partial propagation) is available — costs one extra
+    int8 copy of the matrix in HBM.
     """
     backend = _select_backend(data, backend)
     if backend == "gather":
@@ -515,9 +579,16 @@ def build_adjacency(
         m8 = jnp.asarray(fusedmm.pad_matrix(_count_matrix_int8(data)))
         return FusedSquareAdj(m8, lu, li, ru, ri, diag_u, diag_i,
                               nu, ni, has_diag, _bitpack_interpret())
-    m = jnp.asarray(_count_matrix_int8(data))
+    m_np = _count_matrix_int8(data)
+    m = jnp.asarray(m_np)
+    row3 = None
+    if with_transpose:
+        row3 = (
+            jnp.asarray(gathermm.pack_rows3(m_np)),
+            jnp.asarray(gathermm.pack_rows3(np.ascontiguousarray(m_np.T))),
+        )
     return DenseSquareAdj(m, lu, li, ru, ri, diag_u, diag_i, nu, ni,
-                          compute_dtype, has_diag)
+                          compute_dtype, has_diag, row3)
 
 
 def build_rect_adjacency(

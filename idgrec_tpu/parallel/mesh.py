@@ -63,17 +63,21 @@ def param_shardings(params, mesh: Mesh):
     """Row-shard embedding-like [N, d] tables over the model axis;
     replicate small/odd-shaped leaves.
 
-    Uneven row counts are fine: GSPMD pads the trailing shard
-    internally, so real-scale tables (e.g. yelp2018's 31,668 users)
-    shard over any model-axis size without explicit padding. This also
-    reaches the dense int8 interaction matrix inside adjacency pytrees,
-    which is what makes multi-chip propagation read 1/model_size of the
-    matrix per chip.
+    Rows must divide the model-axis size (jax.device_put rejects uneven
+    NamedShardings). The heavy arrays are built divisible on purpose:
+    the propagation backends zero-pad the interaction matrix to
+    128-row multiples (ops/propagate.py), which is what makes
+    multi-chip propagation read 1/model_size of the matrix per chip
+    for any model-axis size up to 128. Embedding tables shard when
+    their row count divides; otherwise they replicate (8 MB at
+    yelp2018 scale — gradient reduction handles them either way).
     """
     model_size = mesh.shape["model"]
 
     def spec(x):
-        if hasattr(x, "ndim") and x.ndim == 2 and x.shape[0] >= 2 * model_size:
+        if (hasattr(x, "ndim") and x.ndim == 2
+                and x.shape[0] >= 2 * model_size
+                and x.shape[0] % model_size == 0):
             return NamedSharding(mesh, P("model", None))
         return NamedSharding(mesh, P())
 

@@ -35,13 +35,13 @@ def test_param_shardings_divisibility():
     mesh = make_mesh(8, data_parallel=2)  # model axis = 4
     params = {
         "divisible": jnp.zeros((16, 8)),
-        "indivisible": jnp.zeros((17, 8)),  # GSPMD pads uneven shards
+        "indivisible": jnp.zeros((17, 8)),  # device_put rejects uneven shards
         "too_small": jnp.zeros((7, 8)),
         "vector": jnp.zeros((16,)),
     }
     sh = param_shardings(params, mesh)
     assert sh["divisible"].spec == P("model", None)
-    assert sh["indivisible"].spec == P("model", None)
+    assert sh["indivisible"].spec == P()
     assert sh["too_small"].spec == P()
     assert sh["vector"].spec == P()
 
@@ -79,3 +79,22 @@ def test_entry_compiles():
     fn, example_args = g.entry()
     out = jax.jit(fn)(*example_args)
     assert np.isfinite(float(out))
+
+
+def test_adjacency_matrix_shards_over_model_axis():
+    """The padded int8 interaction matrix must shard over 'model' for
+    ANY node count (the 128-multiple padding guarantees divisibility),
+    so each chip reads 1/model_size of the adjacency."""
+    from idgrec_tpu.ops.propagate import build_adjacency
+
+    data = make_synthetic_dataset(67, 93, 800, 100, seed=1, name="tiny")
+    adj = build_adjacency(data, "sym", "dense")
+    assert adj.m.shape == (128, 128)  # padded to 128-multiples
+    mesh = make_mesh(8, data_parallel=2)
+    sharded = jax.device_put(adj, param_shardings(adj, mesh))
+    assert sharded.m.sharding.spec == P("model", None)
+    # sharded matmul matches the unsharded one
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(160, 8)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(sharded.matmul(x)), np.asarray(adj.matmul(x)), rtol=1e-5, atol=1e-5
+    )

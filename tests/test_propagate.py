@@ -220,3 +220,61 @@ def test_fused_under_jit_and_device_put(tiny_dataset, rng):
 
     y = f(fused, x)
     assert y.shape == x.shape
+
+
+def test_matmul_rows_matches_full(tiny_dataset, rng):
+    dense = build_adjacency(tiny_dataset, "sym", "dense", compute_dtype="float32",
+                            with_transpose=True)
+    x = _x(tiny_dataset, rng)
+    full = np.asarray(dense.matmul(x))
+    rows_u = jnp.asarray([0, 3, 4, 4, 2], jnp.int32)
+    rows_i = jnp.asarray([1, 2, 2, 7], jnp.int32)
+    yu, yi = dense.matmul_rows(x, rows_u, rows_i)
+    np.testing.assert_allclose(np.asarray(yu), full[np.asarray(rows_u)], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(yi), full[tiny_dataset.num_users + np.asarray(rows_i)], rtol=1e-5, atol=1e-5
+    )
+
+
+def test_propagate_rows_matches_full(tiny_dataset, rng):
+    from idgrec_tpu.models.base import lightgcn_propagate, lightgcn_propagate_rows
+
+    dense = build_adjacency(tiny_dataset, "sym", "dense", compute_dtype="float32",
+                            with_transpose=True)
+    emb0 = jnp.asarray(rng.normal(size=(tiny_dataset.num_nodes, 8)).astype(np.float32))
+    full = np.asarray(lightgcn_propagate(dense, emb0, 3))
+    rows_u = jnp.asarray([2, 2, 4], jnp.int32)
+    rows_i = jnp.asarray([0, 4], jnp.int32)
+    yu, yi = lightgcn_propagate_rows(dense, emb0, 3, rows_u, rows_i,
+                                     tiny_dataset.num_users)
+    np.testing.assert_allclose(np.asarray(yu), full[np.asarray(rows_u)], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(yi), full[tiny_dataset.num_users + np.asarray(rows_i)], rtol=1e-4, atol=1e-5
+    )
+
+
+def test_propagate_rows_gradients_match(tiny_dataset, rng):
+    """Autodiff through the row-partial path must equal autodiff
+    through full propagation + row selection (same weights gradient)."""
+    from idgrec_tpu.models.base import lightgcn_propagate, lightgcn_propagate_rows
+
+    dense = build_adjacency(tiny_dataset, "sym", "dense", compute_dtype="float32",
+                            with_transpose=True)
+    emb0 = jnp.asarray(rng.normal(size=(tiny_dataset.num_nodes, 8)).astype(np.float32))
+    rows_u = jnp.asarray([2, 0, 4], jnp.int32)
+    rows_i = jnp.asarray([0, 4], jnp.int32)
+    wu = jnp.asarray(rng.normal(size=(3, 8)).astype(np.float32))
+    wi = jnp.asarray(rng.normal(size=(2, 8)).astype(np.float32))
+
+    def f_rows(e):
+        yu, yi = lightgcn_propagate_rows(dense, e, 2, rows_u, rows_i, tiny_dataset.num_users)
+        return jnp.sum(yu * wu) + jnp.sum(yi * wi)
+
+    def f_full(e):
+        full = lightgcn_propagate(dense, e, 2)
+        return (jnp.sum(full[rows_u] * wu)
+                + jnp.sum(full[tiny_dataset.num_users + rows_i] * wi))
+
+    g_rows = jax.grad(f_rows)(emb0)
+    g_full = jax.grad(f_full)(emb0)
+    np.testing.assert_allclose(np.asarray(g_rows), np.asarray(g_full), rtol=1e-4, atol=1e-5)
