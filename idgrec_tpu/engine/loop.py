@@ -28,6 +28,7 @@ from idgrec_tpu.config import Config, load_model_config
 from idgrec_tpu.data.dataset import Dataset
 from idgrec_tpu.engine import checkpoint as ckpt
 from idgrec_tpu.engine.evaluator import BestResults, Evaluator
+from idgrec_tpu.engine.profiling import ThroughputMeter, debug_options, maybe_trace
 from idgrec_tpu.engine.logging_utils import RunLogger, loss_string
 from idgrec_tpu.engine.sampler import NegativeSampler
 from idgrec_tpu.engine.trainer import EpochRunner
@@ -55,9 +56,11 @@ def train_model(
     checkpoint_dir: str | None = None,
     checkpoint_every: int | None = None,
     mesh=None,
+    profile_dir: str | None = None,
 ) -> TrainResult:
     config = config or load_model_config(model_name)
     seed = seed if seed is not None else config.int("seed")
+    debug_options(config)
 
     model_cls = get_model(model_name)
     model: RecModel = model_cls(config, data)
@@ -104,6 +107,17 @@ def train_model(
     num_batch_norm = runner.num_train // runner.batch_size + 1  # trainer.py:36 parity
     respects_early_stop = getattr(model, "respects_early_stop", True)
 
+    graph = getattr(model, "graph", None)
+    meter = ThroughputMeter(
+        num_train=runner.num_train,
+        nnz=data.nnz,
+        emb_size=config.int("embedding_size"),
+        num_layers=getattr(model, "num_layers", 0) or 0,
+        steps_per_epoch=runner.num_batches,
+        aggregates_per_step=getattr(model, "aggregates_per_step", 1),
+        dense_dims=tuple(graph.m.shape) if hasattr(graph, "m") else None,
+    )
+
     history: list[dict] = []
     last_result: dict | None = None
 
@@ -132,18 +146,19 @@ def train_model(
         ctx = jax.device_put(ctx)
 
         rng, sample_key, epoch_key = jax.random.split(rng, 3)
-        if batching == "bpr_triples":
-            users, pos, neg = sampler.sample_epoch(sample_key)
-        else:  # user_rows: shuffled user ids; model densifies rows itself
-            users = jax.random.permutation(
-                sample_key, jnp.arange(data.num_users, dtype=jnp.int32)
+        with maybe_trace(profile_dir if epoch == start_epoch + 1 else None):
+            if batching == "bpr_triples":
+                users, pos, neg = sampler.sample_epoch(sample_key)
+            else:  # user_rows: shuffled user ids; model densifies rows itself
+                users = jax.random.permutation(
+                    sample_key, jnp.arange(data.num_users, dtype=jnp.int32)
+                )
+                pos = users
+                neg = users
+            params, opt_state, state, term_sums = runner.run_epoch(
+                params, opt_state, state, ctx, users, pos, neg, epoch_key, epoch
             )
-            pos = users
-            neg = users
-        params, opt_state, state, term_sums = runner.run_epoch(
-            params, opt_state, state, ctx, users, pos, neg, epoch_key, epoch
-        )
-        term_sums = jax.device_get(term_sums)
+            term_sums = jax.device_get(term_sums)
         elapsed = time.time() - start
 
         loss_strs = loss_string(term_sums, num_batch_norm)
@@ -154,6 +169,7 @@ def train_model(
         logger.event(
             kind="train_epoch", epoch=epoch + 1, seconds=elapsed,
             loss_terms=[float(t) / num_batch_norm for t in term_sums],
+            **meter.rates(elapsed),
         )
         history.append({"epoch": epoch + 1, "train_time": elapsed, "loss": loss_strs})
 

@@ -31,6 +31,8 @@ def parse_args(argv=None):
                         help="override training_epochs")
     parser.add_argument("--checkpoint_dir", type=str, default=None,
                         help="save checkpoints and resume from the latest one")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="write a jax.profiler trace of one epoch here")
     return parser.parse_args(argv)
 
 
@@ -89,6 +91,7 @@ def main(argv=None) -> int:
         seed=seed,
         log_dir=args.log_dir,
         checkpoint_dir=args.checkpoint_dir,
+        profile_dir=args.profile_dir,
     )
     print("Best epoch:", result.best.epoch,
           "Best recall:", result.best.recall, "Best NDCG:", result.best.ndcg)

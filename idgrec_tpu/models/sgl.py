@@ -35,6 +35,7 @@ from idgrec_tpu.ops.propagate import (
 
 @register("SGL")
 class SGL(RecModel):
+    aggregates_per_step = 3  # throughput-meter hint (SURVEY §3.3)
     loss_names = ("bpr", "reg", "ssl")
     respects_early_stop = False
 

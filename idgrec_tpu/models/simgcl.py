@@ -70,6 +70,7 @@ def perturbed_propagate(graph, emb0, num_layers, epsilon, rng, include_layer0=Fa
 
 @register("SimGCL")
 class SimGCL(RecModel):
+    aggregates_per_step = 3  # throughput-meter hint (SURVEY §3.3)
     loss_names = ("bpr", "reg", "ssl")
 
     def __init__(self, config, data):

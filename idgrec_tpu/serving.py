@@ -1,0 +1,93 @@
+"""Batch inference / serving API.
+
+The reference has no serving path (SURVEY §1: "no serving path");
+this module is the deployment-side counterpart of the evaluator: a
+`Recommender` wraps trained parameters and answers top-K requests as
+one jitted program per batch shape.
+
+Design (TPU-serving-first):
+
+* the model representation (`eval_embeddings`) is computed ONCE at
+  construction and kept on device — requests only pay a [B, d] gather,
+  a [B, num_items] MXU matmul and a top-k;
+* seen-item filtering uses the same padded exclusion lists as the
+  evaluator (reference semantics: train positives are never
+  recommended, batch_test.py:62-65);
+* arbitrary request sizes are padded to the next power of two so at
+  most log2(max_batch) programs ever compile.
+
+Works with any registered model. Example:
+
+    rec = Recommender.from_train_result("LightGCN", data, cfg, result)
+    items, scores = rec.recommend([1, 17, 42], k=10)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from idgrec_tpu.config import Config
+from idgrec_tpu.data.dataset import Dataset
+from idgrec_tpu.models import get_model
+
+_MASK_VALUE = -1e9
+
+
+class Recommender:
+    """Device-resident top-K recommendation server for one model."""
+
+    def __init__(self, model, params, state, ctx, data: Dataset,
+                 filter_seen: bool = True, rng: jax.Array | None = None):
+        self.model = model
+        self.data = data
+        self.filter_seen = filter_seen
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        with model.bound_constants(model.constants()):
+            self._repr = jax.jit(model.eval_embeddings)(params, state, ctx, rng)
+        jax.block_until_ready(self._repr)
+        # padded per-user positives for masking (int32 [U, P], num_items pad)
+        deg = np.diff(data.row_ptr)
+        p = max(int(deg.max()) if deg.size else 1, 1)
+        excl = np.full((data.num_users, p), data.num_items, np.int32)
+        for u in range(data.num_users):
+            pos = data.positive_items(u)
+            excl[u, : pos.size] = pos
+        self._excl = jax.device_put(jnp.asarray(excl))
+        self._score = jax.jit(self._score_impl, static_argnums=(2,))
+
+    @classmethod
+    def from_train_result(cls, model_name: str, data: Dataset, config: Config,
+                          result, **kw) -> "Recommender":
+        model = get_model(model_name)(config, data)
+        model.device_put()
+        return cls(model, result.params, result.state, (), data, **kw)
+
+    def _score_impl(self, users: jnp.ndarray, excl_rows: jnp.ndarray, k: int):
+        ratings = self.model.score_batch(self._repr, users).astype(jnp.float32)
+        if self.filter_seen:
+            b = users.shape[0]
+            row_ids = jnp.repeat(jnp.arange(b), excl_rows.shape[1])
+            ratings = ratings.at[row_ids, excl_rows.reshape(-1)].set(
+                _MASK_VALUE, mode="drop"
+            )
+        return jax.lax.top_k(ratings, k)
+
+    def recommend(self, users, k: int = 10):
+        """Top-k unseen items for each user id. Returns (items [B, k]
+        int64, scores [B, k] float32) as numpy arrays."""
+        users = np.asarray(users, np.int32)
+        if users.ndim != 1:
+            raise ValueError("users must be a 1-D list of user ids")
+        if np.any((users < 0) | (users >= self.data.num_users)):
+            raise ValueError("user id out of range")
+        b = users.size
+        b_pad = 1 << max(0, (b - 1).bit_length())
+        users_pad = np.zeros(b_pad, np.int32)
+        users_pad[:b] = users
+        excl = self._excl[jnp.asarray(users_pad)]
+        scores, items = self._score(jnp.asarray(users_pad), excl, int(k))
+        return np.asarray(items[:b], np.int64), np.asarray(scores[:b])

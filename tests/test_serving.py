@@ -1,0 +1,57 @@
+"""Serving API: top-k recommendations with seen-item filtering."""
+
+import numpy as np
+import pytest
+
+from idgrec_tpu.config import Config
+from idgrec_tpu.data.dataset import make_synthetic_dataset
+from idgrec_tpu.engine.loop import train_model
+from idgrec_tpu.serving import Recommender
+
+
+@pytest.fixture(scope="module")
+def trained():
+    data = make_synthetic_dataset(50, 80, 900, 200, seed=4, name="tiny")
+    cfg = Config({
+        "dataset": "tiny", "top_K": "[3, 5]", "training_epochs": "2",
+        "interval": "1", "embedding_size": "16", "batch_size": "128",
+        "test_batch_size": "32", "learn_rate": "0.05",
+        "reg_lambda": "0.0001", "GCN_layer": "2",
+    })
+    result = train_model("LightGCN", data, config=cfg, seed=1, log_dir=None, echo=False)
+    return data, cfg, result
+
+
+def test_recommend_filters_seen(trained):
+    data, cfg, result = trained
+    rec = Recommender.from_train_result("LightGCN", data, cfg, result)
+    users = [0, 3, 7]
+    items, scores = rec.recommend(users, k=5)
+    assert items.shape == (3, 5) and scores.shape == (3, 5)
+    for row, u in enumerate(users):
+        seen = set(data.positive_items(u).tolist())
+        assert not (set(items[row].tolist()) & seen), "recommended a seen item"
+        # scores sorted descending
+        assert (np.diff(scores[row]) <= 1e-6).all()
+
+
+def test_recommend_unfiltered_ranks_everything(trained):
+    data, cfg, result = trained
+    rec = Recommender.from_train_result("LightGCN", data, cfg, result, filter_seen=False)
+    items, scores = rec.recommend([5], k=data.num_items)
+    assert sorted(items[0].tolist()) == list(range(data.num_items))
+
+
+def test_recommend_validates_users(trained):
+    data, cfg, result = trained
+    rec = Recommender.from_train_result("LightGCN", data, cfg, result)
+    with pytest.raises(ValueError):
+        rec.recommend([data.num_users + 5], k=3)
+
+
+def test_recommend_odd_batch_sizes(trained):
+    data, cfg, result = trained
+    rec = Recommender.from_train_result("LightGCN", data, cfg, result)
+    for b in (1, 3, 17):
+        items, scores = rec.recommend(list(range(b)), k=4)
+        assert items.shape == (b, 4)
