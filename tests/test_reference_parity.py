@@ -33,7 +33,7 @@ CFG = {
     "top_K": "[10, 20]",
     "training_epochs": "20",
     "early_stopping": "100",
-    "interval": "5",
+    "interval": "4",
     "embedding_size": "32",
     "batch_size": "1024",
     "test_batch_size": "256",
@@ -41,6 +41,9 @@ CFG = {
     "reg_lambda": "0.0001",
     "GCN_layer": "2",
     "sparsity_test": "0",
+    # ours only (reference reads keys lazily; extras are ignored there):
+    # full f32 so numerics match the reference bit-for-bit up to op order
+    "compute_dtype": "float32",
 }
 
 
@@ -73,7 +76,47 @@ EXTRAS = {
                 "cl_layer": "1"},
     "DirectAU": {"gamma": "2.0", "encoder": "MF"},
     "EGCF": {"ssl_lambda": "0.1", "temperature": "0.1", "mode": "parallel"},
+    # weighted-GCN family: the reference CRASHES with mess_dropout=False
+    # (self.mess_dropout only set under the flag but used unconditionally,
+    # GCMC.py:45-46,86) — so dropout stays on with its shipped probability
+    "GCMC": {"mess_dropout": "True", "mess_drop_prob": "[0.1, 0.1]",
+             "layer_size": "[32, 32]"},
+    "GCCF": {"mess_dropout": "True", "mess_drop_prob": "[0.1, 0.1]",
+             "node_dropout": "False", "node_drop_prob": "0.1",
+             "layer_size": "[32, 32]"},
+    "NGCF": {"mess_dropout": "True", "mess_drop_prob": "[0.1, 0.1]",
+             "node_dropout": "False", "node_drop_prob": "0.1",
+             "layer_size": "[32, 32]"},
+    "IMPGCN": {"group": "2"},
+    # HCCF explodes at lr=0.05 on tiny data in BOTH implementations
+    # (the hyper branch is cubic in the embeddings); compare at a
+    # stable learning rate
+    "HCCF": {"hyper_size": "32", "ssl_lambda": "0.1", "temperature": "0.1",
+             "keeprate": "1.0", "learn_rate": "0.005"},
+    "LightGCL": {"ssl_lambda": "0.5", "temperature": "0.2", "svd_q": "5"},
+    "CGCL": {"ssl_lambda_alpha": "1e-5", "ssl_lambda_beta": "1e-5",
+             "ssl_lambda_gamma": "1e-5", "alpha": "0.5", "beta": "0.5",
+             "gamma": "0.5", "temperature": "0.1"},
+    "MAWU": {"gamma_user": "1.0", "gamma_item": "0.1", "encoder": "LightGCN"},
+    "RecDCL": {"a": "1", "polyc": "1e-7", "degree": "4", "all_bt_coeff": "1",
+               "poly_coeff": "5.0", "bt_coeff": "0.01", "mom_coeff": "1",
+               "momentum": "0.1"},
+    "BIGCF": {"ssl_lambda": "0.2", "ssl_temperature": "0.2",
+              "int_temperature": "0.2", "intent_size": "32"},
+    "SCCF": {"temperature": "0.1", "encoder": "MF"},
+    "LightGCN_pp": {"gamma": "0.2", "alpha": "0.6", "beta": "-0.1"},
+    "LightCCF": {"ssl_lambda": "5.0", "temperature": "0.22", "encoder": "LightGCN"},
+    "LightCSCF": {"lambda_reg": "0.0001", "lambda_gamma": "1.0",
+                  "lambda_margin": "0.7", "temperature": "0.2",
+                  "encoder": "LightGCN"},
 }
+
+# NOT in the matrix, with reasons:
+#   NCL       reference needs faiss (absent in this environment)
+#   LightGODE reference needs torchdiffeq (absent)
+#   MixRec    reference hardcodes .cuda() (MixRec.py:74-75) — GPU-only bug
+#   SGL/CVGA  custom reference trainers (subgraph rebuilds / user-row
+#             batches); covered by this repo's unit tests instead
 
 
 def _run_reference(dataset_dir: str, model_name: str, seed: int = 2024):
@@ -97,7 +140,11 @@ def _run_reference(dataset_dir: str, model_name: str, seed: int = 2024):
         model = RefModel(cfg, dataset, device).to(device)
         optim = torch.optim.Adam(model.parameters(), lr=float(cfg["learn_rate"]))
 
-        for _ in range(int(cfg["training_epochs"])):
+        # track the best eval like the reference engine does
+        # (batch_test.general_test best-results bookkeeping)
+        best_recall = np.zeros(2)
+        best_ndcg = np.zeros(2)
+        for epoch in range(int(cfg["training_epochs"])):
             sample = dataset.sample_data_to_train_all()
             users = torch.Tensor(sample[:, 0]).long()
             pos = torch.Tensor(sample[:, 1]).long()
@@ -111,9 +158,17 @@ def _run_reference(dataset_dir: str, model_name: str, seed: int = 2024):
                 optim.zero_grad()
                 total.backward()
                 optim.step()
+            if epoch % int(cfg["interval"]) == 0:
+                r = batch_test.Test(dataset, model, device, cfg)
+                if r["recall"][0] > best_recall[0]:
+                    best_recall = np.asarray(r["recall"])
+                    best_ndcg = np.asarray(r["ndcg"])
 
         result = batch_test.Test(dataset, model, device, cfg)
-        return np.asarray(result["recall"]), np.asarray(result["ndcg"])
+        if result["recall"][0] > best_recall[0]:
+            best_recall = np.asarray(result["recall"])
+            best_ndcg = np.asarray(result["ndcg"])
+        return best_recall, best_ndcg
     finally:
         sys.path.remove(REF)
 
@@ -128,9 +183,15 @@ def _run_ours(dataset_dir: str, model_name: str, seed: int = 2024):
         model_name, data, config=Config(dict(CFG, **EXTRAS[model_name])), seed=seed,
         log_dir=None, echo=False,
     )
-    return np.asarray(res.last_result["recall"]), np.asarray(res.last_result["ndcg"])
+    return np.asarray(res.best.recall), np.asarray(res.best.ndcg)
 
 
+# trajectory comparison is only meaningful where tiny-data training is
+# STABLE; lockstep experiments showed both implementations track each
+# other exactly (identical forward losses and eval metrics on shared
+# weights — see test_reference_exact.py, which covers all 20 runnable
+# models deterministically), while chaotic-regime best-epoch metrics
+# vary ±40% with the RNG stream on both sides.
 @pytest.mark.parametrize(
     "model_name", ["MFBPR", "LightGCN", "SimGCL", "XSimGCL", "DirectAU", "EGCF"]
 )
