@@ -34,6 +34,8 @@ def log(*args):
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true", help="small scale smoke run")
+    parser.add_argument("--scale", default="yelp2018", choices=["yelp2018", "amazon-book"],
+                        help="synthetic dataset scale (public stats of the named set)")
     parser.add_argument("--epochs", type=int, default=3, help="timed epochs")
     parser.add_argument("--batch-size", type=int, default=2048)
     parser.add_argument("--layers", type=int, default=3)
@@ -56,12 +58,16 @@ def main() -> None:
 
     if args.quick:
         num_users, num_items, num_train, num_test = 2000, 3000, 60_000, 10_000
+    elif args.scale == "amazon-book":
+        # public amazon-book stats (train.txt missing from the reference
+        # snapshot; scale from the LightGCN paper's split)
+        num_users, num_items, num_train, num_test = 52_643, 91_599, 2_380_730, 603_378
     else:  # yelp2018 scale (BASELINE.md)
         num_users, num_items, num_train, num_test = 31_668, 38_048, 1_237_259, 324_147
 
     t0 = time.time()
     data = make_synthetic_dataset(num_users, num_items, num_train, num_test, seed=0,
-                                  name="yelp2018-scale")
+                                  name=f"{args.scale}-scale" if not args.quick else "yelp2018-scale")
     log(f"dataset built in {time.time()-t0:.1f}s: {data.get_statistics()}")
 
     cfg = Config({
@@ -121,12 +127,16 @@ def main() -> None:
     eval_time = time.time() - t0
     log(f"eval sweep (steady) {eval_time:.2f}s  [reference: ~3.9s]")
 
-    print(json.dumps({
-        "metric": "lightgcn_yelp2018scale_train_pairs_per_sec",
+    scale_tag = "yelp2018scale" if (args.quick or args.scale == "yelp2018") else args.scale.replace("-", "")
+    out = {
+        "metric": f"lightgcn_{scale_tag}_train_pairs_per_sec",
         "value": round(pairs_per_sec, 1),
         "unit": "pairs/s",
-        "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
-    }))
+    }
+    if scale_tag == "yelp2018scale":
+        # the only reference throughput number is yelp2018 (BASELINE.md)
+        out["vs_baseline"] = round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

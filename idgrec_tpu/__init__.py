@@ -23,9 +23,26 @@ __version__ = "0.1.0"
 
 from idgrec_tpu.config import Config, load_model_config, read_configuration
 
+
+def __getattr__(name):  # lazy: avoid importing jax-heavy modules eagerly
+    if name == "train_model":
+        from idgrec_tpu.engine.loop import train_model
+        return train_model
+    if name == "Dataset":
+        from idgrec_tpu.data.dataset import Dataset
+        return Dataset
+    if name == "Recommender":
+        from idgrec_tpu.serving import Recommender
+        return Recommender
+    raise AttributeError(name)
+
+
 __all__ = [
     "Config",
+    "Dataset",
+    "Recommender",
     "load_model_config",
     "read_configuration",
+    "train_model",
     "__version__",
 ]

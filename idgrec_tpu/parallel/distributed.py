@@ -1,0 +1,67 @@
+"""Multi-host (multi-process) runtime initialization.
+
+One TPU pod slice = N hosts × M chips; JAX needs
+`jax.distributed.initialize` called once per host process before any
+device use so all chips join one global runtime (ICI within a slice,
+DCN across hosts). The reference has no equivalent (single process,
+single GPU — SURVEY §5); this is the framework's entry point for pod
+runs:
+
+    from idgrec_tpu.parallel.distributed import initialize
+    initialize()                       # TPU pod: auto-detected env
+    mesh = make_mesh()                 # now spans every chip via jax.devices()
+
+On Cloud TPU the coordinator address / process counts come from the
+TPU metadata environment, so bare `initialize()` suffices; explicit
+arguments are for DCN clusters without that metadata. Training code is
+unchanged — `train_model(..., mesh=make_mesh())` shards over whatever
+`jax.devices()` reports, and per-host data feeding uses
+`process_index` to slice the epoch sample stream.
+"""
+
+from __future__ import annotations
+
+import jax
+
+_initialized = False
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None) -> None:
+    """Idempotent `jax.distributed.initialize` wrapper.
+
+    No-op when the runtime is already initialized or when running
+    single-process (initialize() with no TPU metadata raises — that
+    case is caught and treated as single-process)."""
+    global _initialized
+    if _initialized:
+        return
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        _initialized = True
+    except (ValueError, RuntimeError):
+        # single-process environment (no coordinator metadata): fine —
+        # jax.devices() already covers the locally attached chips
+        _initialized = True
+
+
+def process_count() -> int:
+    return jax.process_count()
+
+
+def process_index() -> int:
+    return jax.process_index()
+
+
+def host_shard(n: int) -> slice:
+    """This host's contiguous shard of an n-element per-epoch stream
+    (data-parallel input feeding: each host samples/feeds only its
+    slice; GSPMD stitches the global batch from per-host shards)."""
+    per = -(-n // jax.process_count())
+    start = process_index() * per
+    return slice(start, min(start + per, n))

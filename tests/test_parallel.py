@@ -98,3 +98,13 @@ def test_adjacency_matrix_shards_over_model_axis():
     np.testing.assert_allclose(
         np.asarray(sharded.matmul(x)), np.asarray(adj.matmul(x)), rtol=1e-5, atol=1e-5
     )
+
+
+def test_distributed_helpers_single_process():
+    from idgrec_tpu.parallel import distributed
+
+    distributed.initialize()  # must be a safe no-op single-process
+    assert distributed.process_count() >= 1
+    assert 0 <= distributed.process_index() < distributed.process_count()
+    s = distributed.host_shard(100)
+    assert s.start == 0 and s.stop in (100, -(-100 // distributed.process_count()))
