@@ -34,6 +34,7 @@ from idgrec_tpu.engine.sampler import NegativeSampler
 from idgrec_tpu.engine.trainer import EpochRunner
 from idgrec_tpu.models import get_model
 from idgrec_tpu.models.base import RecModel
+from idgrec_tpu.parallel import distributed
 
 
 @dataclass
@@ -66,7 +67,13 @@ def train_model(
     model: RecModel = model_cls(config, data)
     model.device_put()
 
-    logger = RunLogger(model_name, data.name, log_dir, echo=echo)
+    # multi-host: host 0 owns all run-wide side effects (log files,
+    # JSONL events, stdout echo, checkpoint writes); other hosts run
+    # the same compute silently so collectives stay in lockstep
+    primary = distributed.is_primary()
+    logger = RunLogger(
+        model_name, data.name, log_dir if primary else None, echo=echo and primary
+    )
     logger.info(f"Run with {model_name} on {data.name}")
     logger.info(data.get_statistics())
     for key, value in config.items():
@@ -199,7 +206,7 @@ def train_model(
                 recall=result["recall"], ndcg=result["ndcg"],
                 precision=result["precision"],
             )
-            if checkpoint_dir and (
+            if checkpoint_dir and primary and (
                 checkpoint_every is None or (epoch + 1) % checkpoint_every == 0
             ):
                 ckpt.save_checkpoint(

@@ -39,6 +39,7 @@ from idgrec_tpu.data.dataset import Dataset
 from idgrec_tpu.data import graph as graph_lib
 from idgrec_tpu.data.graph import SparseGraph
 from idgrec_tpu.ops import bitmm, fusedmm, gathermm
+from idgrec_tpu.ops.transfer import device_put_chunked
 from idgrec_tpu.ops.spmm import spmm, spmm_transpose
 
 # dense backend memory budget for the int8 count matrix
@@ -354,7 +355,7 @@ def build_binary_count_matrix(data: Dataset) -> jnp.ndarray:
     """Shared binary int8 [U, I] interaction matrix for dropout graphs
     (the reference's augmentation is binary — tools.py:70,80)."""
     m = _count_matrix_int8(data)
-    return jnp.asarray(np.minimum(m, 1))
+    return device_put_chunked(np.minimum(m, 1))
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -510,7 +511,7 @@ def _select_backend(data: Dataset, backend: str) -> str:
 def _pack_pair(data: Dataset) -> tuple[jnp.ndarray, jnp.ndarray]:
     m = _count_matrix_int8(data)
     p, pt = bitmm.pack_pair(m)
-    return jnp.asarray(p), jnp.asarray(pt)
+    return device_put_chunked(p), device_put_chunked(pt)
 
 
 def _bitpack_interpret() -> bool:
@@ -576,16 +577,16 @@ def build_adjacency(
         return BitSquareAdj(p, pt, lu, li, ru, ri, diag_u, diag_i,
                             nu, ni, has_diag, _bitpack_interpret())
     if backend == "fused":
-        m8 = jnp.asarray(fusedmm.pad_matrix(_count_matrix_int8(data)))
+        m8 = device_put_chunked(fusedmm.pad_matrix(_count_matrix_int8(data)))
         return FusedSquareAdj(m8, lu, li, ru, ri, diag_u, diag_i,
                               nu, ni, has_diag, _bitpack_interpret())
     m_np = _count_matrix_int8(data)
-    m = jnp.asarray(m_np)
+    m = device_put_chunked(m_np)
     row3 = None
     if with_transpose:
         row3 = (
-            jnp.asarray(gathermm.pack_rows3(m_np)),
-            jnp.asarray(gathermm.pack_rows3(np.ascontiguousarray(m_np.T))),
+            device_put_chunked(gathermm.pack_rows3(m_np)),
+            device_put_chunked(gathermm.pack_rows3(np.ascontiguousarray(m_np.T))),
         )
     return DenseSquareAdj(m, lu, li, ru, ri, diag_u, diag_i, nu, ni,
                           compute_dtype, has_diag, row3)
@@ -607,7 +608,7 @@ def build_rect_adjacency(
             p, pt, _inv_pow_vec(du, 0.5), _inv_pow_vec(di, 0.5),
             data.num_users, data.num_items, _bitpack_interpret(),
         )
-    m = jnp.asarray(_count_matrix_int8(data))
+    m = device_put_chunked(_count_matrix_int8(data))
     return DenseRectAdj(
         m, _inv_pow_vec(du, 0.5), _inv_pow_vec(di, 0.5),
         data.num_users, data.num_items, compute_dtype,

@@ -58,6 +58,13 @@ def process_index() -> int:
     return jax.process_index()
 
 
+def is_primary() -> bool:
+    """True on the host that owns run-wide side effects (log files,
+    checkpoints, stdout). Mirrors the single-writer convention of
+    multi-host JAX programs; always True single-process."""
+    return jax.process_index() == 0
+
+
 def host_shard(n: int) -> slice:
     """This host's contiguous shard of an n-element per-epoch stream
     (data-parallel input feeding: each host samples/feeds only its
