@@ -42,6 +42,8 @@ def main() -> None:
     parser.add_argument("--emb", type=int, default=64)
     parser.add_argument("--backend", default="auto",
                         help="propagation backend: auto|dense|fused|bitpack|gather")
+    parser.add_argument("--compute-dtype", default="bfloat16",
+                        help="propagation precision: bfloat16|float32|int8 (quantized)")
     args = parser.parse_args()
 
     import jax
@@ -80,6 +82,7 @@ def main() -> None:
         "reg_lambda": "0.0001",
         "GCN_layer": str(args.layers),
         "propagation_backend": args.backend,
+        "compute_dtype": args.compute_dtype,
     })
 
     model = get_model("LightGCN")(cfg, data)

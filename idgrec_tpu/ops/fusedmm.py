@@ -129,6 +129,94 @@ def fused_fits(num_items: int, d: int = 64) -> bool:
     return _round_up(num_items, TI) * d * 4 <= MAX_YI_VMEM_BYTES
 
 
+# ---------------------------------------------------------------------------
+# int8 variant: same single-sweep structure, but the MXU runs native
+# s8×s8→s32 dots (2× the bf16 rate — decisive because at d=64 the bf16
+# dot pair, not the HBM sweep, is the kernel's critical path). Inputs
+# are pre-quantized int8 activations; scale handling lives in the
+# caller (ops/propagate.py quantized paths).
+
+
+def _fused_kernel_int8(m_ref, qi_ref, qu_ref, yu_ref, yi_ref, yi_acc, sem):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    ni = pl.num_programs(0)
+    nj = pl.num_programs(1)
+    d = qi_ref.shape[1]
+
+    @pl.when(j == 0)
+    def _():
+        yu_ref[...] = jnp.zeros_like(yu_ref)
+
+    @pl.when(i == 0)
+    def _():
+        yi_acc[pl.ds(j * TI, TI), :] = jnp.zeros((TI, d), jnp.float32)
+
+    m = m_ref[...]  # int8 [TU, TI]
+    yu_ref[...] += jnp.dot(
+        m, qi_ref[...], preferred_element_type=jnp.int32
+    ).astype(jnp.float32)
+    yi_acc[pl.ds(j * TI, TI), :] += jax.lax.dot_general(
+        m, qu_ref[...],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+
+    @pl.when((i == ni - 1) & (j == nj - 1))
+    def _():
+        copy = pltpu.make_async_copy(yi_acc, yi_ref, sem)
+        copy.start()
+        copy.wait()
+
+
+def fused_adj_matmul_int8(m8: jnp.ndarray, qu: jnp.ndarray, qi: jnp.ndarray,
+                          interpret: bool = False):
+    """(M @ qi, Mᵀ @ qu) for int8 M and PRE-QUANTIZED int8 activations.
+
+    m8 int8 [U_pad, I_pad] (pad_matrix layout); qu int8 [U_pad, d];
+    qi int8 [I_pad, d]. Returns f32 (yu [U_pad, d], yi [I_pad, d]) of
+    the raw integer products — callers apply the dequantization column
+    scales. Not differentiable; quantized training wraps it in a
+    straight-through custom_vjp (ops/propagate.py)."""
+    u_pad, i_pad = m8.shape
+    d = qi.shape[1]
+    grid = (u_pad // TU, i_pad // TI)
+    return pl.pallas_call(
+        _fused_kernel_int8,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TU, TI), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TI, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TU, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((TU, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((u_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((i_pad, d), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((i_pad, d), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            # tighter slack than the bf16 kernel: the int8 dots need
+            # wider internal staging and the whole scoped allocation
+            # must stay under XLA's ~55 MB scoped-vmem ceiling
+            vmem_limit_bytes=i_pad * d * 4 + 16 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * u_pad * i_pad * d,
+            bytes_accessed=u_pad * i_pad + (u_pad + i_pad) * d * 5,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(m8, qi, qu)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(3,))
 def fused_adj_matmul(m8, zu, zi, interpret=False):
     """(M @ zi, Mᵀ @ zu) for int8 M padded with `pad_matrix`.

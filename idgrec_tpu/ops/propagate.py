@@ -77,10 +77,116 @@ def _inv_pow_vec(x: np.ndarray, p: float) -> jnp.ndarray:
     return jnp.asarray(graph_lib._inv_pow(x.astype(np.float64), p), jnp.float32)
 
 
+# ---------------------------------------------------------------------------
+# int8-quantized propagation (opt-in): both dense-backend matmul
+# directions run as s8×s8→s32 MXU products. The int8 MXU path runs at
+# 2× the bf16 rate, which matters because at d=64 the bf16 matmul only
+# fills half the systolic array's lanes — propagation is MXU-bound,
+# not HBM-bound, once the int8 adjacency read is fused. Activations
+# are quantized per-COLUMN (feature) with symmetric scales, which
+# commute exactly through the contraction: (M @ q)·diag(s) = M @ (q·diag(s)).
+# Gradients are straight-through: the VJP applies the same quantized
+# operator with the directions swapped (fully-quantized training).
+# No reference equivalent (full-precision torch.sparse.mm,
+# models/LightGCN.py:44); opt-in via `propagation_quant = int8`.
+
+
+def _quantize_cols(z: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-column symmetric int8 quantization: z ≈ q · diag(scale)."""
+    amax = jnp.max(jnp.abs(z), axis=0)
+    scale = jnp.where(amax > 0.0, amax / 127.0, 1.0).astype(jnp.float32)
+    q = jnp.round(z / scale).astype(jnp.int8)
+    return q, scale
+
+
+def _qdm_impl(m: jnp.ndarray, zi: jnp.ndarray, zu: jnp.ndarray):
+    qi, si = _quantize_cols(zi)
+    qu, su = _quantize_cols(zu)
+    yu = jnp.matmul(m, qi, preferred_element_type=jnp.int32).astype(jnp.float32) * si
+    yi = jnp.matmul(m.T, qu, preferred_element_type=jnp.int32).astype(jnp.float32) * su
+    return yu, yi
+
+
+@jax.custom_vjp
+def quant_dual_matmul(m, zi, zu):
+    """(M @ q8(zi), Mᵀ @ q8(zu)) — int8 MXU both directions, f32 out.
+
+    m int8 [U_pad, I_pad]; zi [I_pad, d]; zu [U_pad, d] f32.
+    Differentiable in zi/zu (straight-through, quantized backward)."""
+    return _qdm_impl(m, zi, zu)
+
+
+def _qdm_fwd(m, zi, zu):
+    return _qdm_impl(m, zi, zu), m
+
+
+def _qdm_bwd(m, g):
+    g_yu, g_yi = g
+    # transpose of the bilinear structure: dzi = Mᵀ g_yu, dzu = M g_yi,
+    # computed by the same quantized dual product with inputs swapped
+    dzu, dzi = _qdm_impl(m, g_yi, g_yu)
+    dm = np.zeros(m.shape, dtype=jax.dtypes.float0)
+    return dm, dzi, dzu
+
+
+quant_dual_matmul.defvjp(_qdm_fwd, _qdm_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def quant_matmul(transpose: bool, m, z):
+    """Single-direction quantized product: (Mᵀ if transpose else M) @ q8(z).
+    Straight-through VJP = the opposite direction, also quantized."""
+    mm = m.T if transpose else m
+    q, s = _quantize_cols(z)
+    return jnp.matmul(mm, q, preferred_element_type=jnp.int32).astype(jnp.float32) * s
+
+
+def _qm_fwd(transpose, m, z):
+    return quant_matmul(transpose, m, z), m
+
+
+def _qm_bwd(transpose, m, g):
+    dz = quant_matmul(not transpose, m, g)
+    return np.zeros(m.shape, dtype=jax.dtypes.float0), dz
+
+
+quant_matmul.defvjp(_qm_fwd, _qm_bwd)
+
+
+def _qfd_impl(m8, zi, zu, interpret):
+    qi, si = _quantize_cols(zi)
+    qu, su = _quantize_cols(zu)
+    yu, yi = fusedmm.fused_adj_matmul_int8(m8, qu, qi, interpret)
+    return yu * si, yi * su
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def quant_fused_dual(m8, zi, zu, interpret=False):
+    """(M @ q8(zi), Mᵀ @ q8(zu)) via the single-sweep int8 Pallas
+    kernel (ops/fusedmm.py): one HBM read of M per application AND
+    native int8 MXU dots — the fastest single-chip propagation path.
+    Straight-through VJP, fully quantized backward."""
+    return _qfd_impl(m8, zi, zu, interpret)
+
+
+def _qfd_fwd(m8, zi, zu, interpret):
+    return _qfd_impl(m8, zi, zu, interpret), m8
+
+
+def _qfd_bwd(interpret, m8, g):
+    g_yu, g_yi = g
+    dzu, dzi = _qfd_impl(m8, g_yi, g_yu, interpret)
+    return np.zeros(m8.shape, dtype=jax.dtypes.float0), dzi, dzu
+
+
+quant_fused_dual.defvjp(_qfd_fwd, _qfd_bwd)
+
+
 @partial(jax.tree_util.register_dataclass,
          data_fields=["m", "left_u", "left_i", "right_u", "right_i", "diag_u", "diag_i",
                       "row3"],
-         meta_fields=["num_users", "num_items", "compute_dtype_name", "has_diag"])
+         meta_fields=["num_users", "num_items", "compute_dtype_name", "has_diag",
+                      "quant"])
 @dataclass(frozen=True)
 class DenseSquareAdj:
     """Square normalized adjacency diag(L)·[[0,M],[Mᵀ,0]]·diag(R) (+ diag)."""
@@ -100,6 +206,9 @@ class DenseSquareAdj:
     # layout): enables `matmul_rows`; built with
     # build_adjacency(..., with_transpose=True)
     row3: tuple | None = None
+    # "int8": both matmul directions quantize activations per-column
+    # and run on the int8 MXU (2× rate at d=64); "none": exact bf16/f32
+    quant: str = "none"
 
     @property
     def shape(self):
@@ -151,12 +260,19 @@ class DenseSquareAdj:
             gu, gi = gate[: self.num_users], gate[self.num_users :]
             right_u, right_i = right_u * gu, right_i * gi
             left_u, left_i = left_u * gu, left_i * gi
-        mm = self.m.astype(cdt)
         u_pad, i_pad = self.m.shape
-        zi = _pad_rows((right_i[:, None] * xi.astype(jnp.float32)).astype(cdt), i_pad)
-        zu = _pad_rows((right_u[:, None] * xu.astype(jnp.float32)).astype(cdt), u_pad)
-        yu = left_u[:, None] * jnp.matmul(mm, zi, preferred_element_type=jnp.float32)[: self.num_users]
-        yi = left_i[:, None] * jnp.matmul(mm.T, zu, preferred_element_type=jnp.float32)[: self.num_items]
+        if self.quant == "int8":
+            zi = _pad_rows(right_i[:, None] * xi.astype(jnp.float32), i_pad)
+            zu = _pad_rows(right_u[:, None] * xu.astype(jnp.float32), u_pad)
+            yu_raw, yi_raw = quant_dual_matmul(self.m, zi, zu)
+            yu = left_u[:, None] * yu_raw[: self.num_users]
+            yi = left_i[:, None] * yi_raw[: self.num_items]
+        else:
+            mm = self.m.astype(cdt)
+            zi = _pad_rows((right_i[:, None] * xi.astype(jnp.float32)).astype(cdt), i_pad)
+            zu = _pad_rows((right_u[:, None] * xu.astype(jnp.float32)).astype(cdt), u_pad)
+            yu = left_u[:, None] * jnp.matmul(mm, zi, preferred_element_type=jnp.float32)[: self.num_users]
+            yi = left_i[:, None] * jnp.matmul(mm.T, zu, preferred_element_type=jnp.float32)[: self.num_items]
         if self.has_diag:
             yu = yu + self.diag_u[:, None] * xu.astype(jnp.float32)
             yi = yi + self.diag_i[:, None] * xi.astype(jnp.float32)
@@ -165,7 +281,7 @@ class DenseSquareAdj:
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["m", "left", "right"],
-         meta_fields=["num_users", "num_items", "compute_dtype_name"])
+         meta_fields=["num_users", "num_items", "compute_dtype_name", "quant"])
 @dataclass(frozen=True)
 class DenseRectAdj:
     """Rectangular R̃ = diag(left)·M·diag(right) [U, I]."""
@@ -176,26 +292,31 @@ class DenseRectAdj:
     num_users: int
     num_items: int
     compute_dtype_name: str = "bfloat16"
+    quant: str = "none"
 
     @property
     def shape(self):
         return (self.num_users, self.num_items)
 
     def matmul(self, xi: jnp.ndarray) -> jnp.ndarray:
-        cdt = jnp.dtype(self.compute_dtype_name)
-        z = _pad_rows((self.right[:, None] * xi.astype(jnp.float32)).astype(cdt), self.m.shape[1])
-        y = self.left[:, None] * jnp.matmul(
-            self.m.astype(cdt), z, preferred_element_type=jnp.float32
-        )[: self.num_users]
-        return y.astype(xi.dtype)
+        z32 = self.right[:, None] * xi.astype(jnp.float32)
+        if self.quant == "int8":
+            y = quant_matmul(False, self.m, _pad_rows(z32, self.m.shape[1]))
+        else:
+            cdt = jnp.dtype(self.compute_dtype_name)
+            z = _pad_rows(z32.astype(cdt), self.m.shape[1])
+            y = jnp.matmul(self.m.astype(cdt), z, preferred_element_type=jnp.float32)
+        return (self.left[:, None] * y[: self.num_users]).astype(xi.dtype)
 
     def t_matmul(self, xu: jnp.ndarray) -> jnp.ndarray:
-        cdt = jnp.dtype(self.compute_dtype_name)
-        z = _pad_rows((self.left[:, None] * xu.astype(jnp.float32)).astype(cdt), self.m.shape[0])
-        y = self.right[:, None] * jnp.matmul(
-            self.m.T.astype(cdt), z, preferred_element_type=jnp.float32
-        )[: self.num_items]
-        return y.astype(xu.dtype)
+        z32 = self.left[:, None] * xu.astype(jnp.float32)
+        if self.quant == "int8":
+            y = quant_matmul(True, self.m, _pad_rows(z32, self.m.shape[0]))
+        else:
+            cdt = jnp.dtype(self.compute_dtype_name)
+            z = _pad_rows(z32.astype(cdt), self.m.shape[0])
+            y = jnp.matmul(self.m.T.astype(cdt), z, preferred_element_type=jnp.float32)
+        return (self.right[:, None] * y[: self.num_items]).astype(xu.dtype)
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -410,7 +531,7 @@ class BitSquareAdj:
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["m8", "left_u", "left_i", "right_u", "right_i", "diag_u", "diag_i"],
-         meta_fields=["num_users", "num_items", "has_diag", "interpret"])
+         meta_fields=["num_users", "num_items", "has_diag", "interpret", "quant"])
 @dataclass(frozen=True)
 class FusedSquareAdj:
     """Square normalized adjacency over int8 M with BOTH directions
@@ -428,6 +549,7 @@ class FusedSquareAdj:
     num_items: int
     has_diag: bool = False
     interpret: bool = False
+    quant: str = "none"
 
     @property
     def shape(self):
@@ -444,7 +566,17 @@ class FusedSquareAdj:
             left_u, left_i = left_u * gu, left_i * gi
         zu = right_u[:, None] * xu.astype(jnp.float32)
         zi = right_i[:, None] * xi.astype(jnp.float32)
-        yu, yi = fusedmm.fused_adj_matmul(self.m8, zu, zi, self.interpret)
+        if self.quant == "int8":
+            u_pad, i_pad = self.m8.shape
+            zu_p = _pad_rows(zu, u_pad)
+            zi_p = _pad_rows(zi, i_pad)
+            if i_pad * x.shape[1] * 4 <= fusedmm.MAX_YI_VMEM_BYTES:
+                yu, yi = quant_fused_dual(self.m8, zi_p, zu_p, self.interpret)
+            else:  # yi accumulator over VMEM budget: XLA int8 dual matmul
+                yu, yi = quant_dual_matmul(self.m8, zi_p, zu_p)
+            yu, yi = yu[: self.num_users], yi[: self.num_items]
+        else:
+            yu, yi = fusedmm.fused_adj_matmul(self.m8, zu, zi, self.interpret)
         yu = left_u[:, None] * yu
         yi = left_i[:, None] * yi
         if self.has_diag:
@@ -489,6 +621,13 @@ class BitRectAdj:
 
 def _is_binary(data: Dataset) -> bool:
     return bool(np.all(data.csr_vals == 1))
+
+
+def _split_quant(compute_dtype: str) -> tuple[str, str]:
+    """('int8' policy) -> (matmul dtype for non-quant paths, quant mode)."""
+    if compute_dtype == "int8":
+        return "bfloat16", "int8"
+    return compute_dtype, "none"
 
 
 def _select_backend(data: Dataset, backend: str) -> str:
@@ -536,8 +675,23 @@ def build_adjacency(
     with_transpose (dense backend): also store Mᵀ so `matmul_rows`
     (batch-row partial propagation) is available — costs one extra
     int8 copy of the matrix in HBM.
+
+    compute_dtype: 'bfloat16' (default), 'float32' (full precision),
+    or 'int8' (dense backend only: per-column-quantized activations on
+    the int8 MXU, straight-through gradients — see quant_dual_matmul).
     """
+    compute_dtype, quant = _split_quant(compute_dtype)
+    requested = backend
     backend = _select_backend(data, backend)
+    if quant != "none":
+        if requested == "auto" and backend == "dense":
+            # the single-sweep int8 Pallas kernel is the fastest
+            # quantized path (one M read + int8 MXU dots)
+            backend = "fused"
+        if backend not in ("dense", "fused"):
+            raise ValueError(
+                "compute_dtype = int8 requires the dense or fused backend"
+            )
     if backend == "gather":
         if variant == "sym":
             return GatherSquareAdj(graph_lib.normalized_adjacency(data))
@@ -579,7 +733,7 @@ def build_adjacency(
     if backend == "fused":
         m8 = device_put_chunked(fusedmm.pad_matrix(_count_matrix_int8(data)))
         return FusedSquareAdj(m8, lu, li, ru, ri, diag_u, diag_i,
-                              nu, ni, has_diag, _bitpack_interpret())
+                              nu, ni, has_diag, _bitpack_interpret(), quant)
     m_np = _count_matrix_int8(data)
     m = device_put_chunked(m_np)
     row3 = None
@@ -589,14 +743,17 @@ def build_adjacency(
             device_put_chunked(gathermm.pack_rows3(np.ascontiguousarray(m_np.T))),
         )
     return DenseSquareAdj(m, lu, li, ru, ri, diag_u, diag_i, nu, ni,
-                          compute_dtype, has_diag, row3)
+                          compute_dtype, has_diag, row3, quant)
 
 
 def build_rect_adjacency(
     data: Dataset, backend: str = "auto", compute_dtype: str = "bfloat16"
 ):
     """Rectangular R̃ = Du^-1/2 · R · Di^-1/2 ops (data_graph.py:58)."""
+    compute_dtype, quant = _split_quant(compute_dtype)
     backend = _select_backend(data, backend)
+    if quant != "none" and backend != "dense":
+        raise ValueError("compute_dtype = int8 requires the dense backend")
     if backend == "gather":
         return GatherRectAdj(graph_lib.normalized_rectangular(data))
     du, di = graph_lib._degrees(data)
@@ -611,7 +768,7 @@ def build_rect_adjacency(
     m = device_put_chunked(_count_matrix_int8(data))
     return DenseRectAdj(
         m, _inv_pow_vec(du, 0.5), _inv_pow_vec(di, 0.5),
-        data.num_users, data.num_items, compute_dtype,
+        data.num_users, data.num_items, compute_dtype, quant,
     )
 
 
@@ -640,7 +797,13 @@ def build_dropout_adjacency(
     For the dense/bitpack backends, pass a shared ``m_bin`` from
     `build_dropout_shared` so only the dropped-edge list (~10% of
     nnz) moves host→device each epoch, not the full matrix.
+
+    `compute_dtype = int8` falls back to bf16 here: the per-epoch
+    dropout graphs have no quantized path (SGL's contrastive views
+    are noise-injected by design, but the drop-correction segment-sums
+    stay exact).
     """
+    compute_dtype, _ = _split_quant(compute_dtype)
     backend = _select_backend(data, backend)
     if backend == "gather":
         return GatherSquareAdj(graph_lib.edge_dropout_adjacency(data, drop_ratio, np_rng))

@@ -1,0 +1,64 @@
+"""Convergence-quality study: exact bf16 vs int8-quantized propagation.
+
+Trains LightGCN at yelp2018 scale (synthetic, Zipf-skewed — the
+reference snapshot ships no real train.txt) under both compute_dtype
+policies with identical seeds and logs the Recall/NDCG@20 trajectory.
+The int8 path (ops/propagate.py quant_* ops) is admissible as a
+performance mode only if its converged metrics land within run-to-run
+noise of the exact path; this script produces that evidence.
+
+Usage: python scripts/quant_parity.py [--epochs 40] [--interval 5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=40)
+    ap.add_argument("--interval", type=int, default=5)
+    ap.add_argument("--scale", type=float, default=1.0,
+                    help="shrink factor for a faster smoke run")
+    args = ap.parse_args()
+
+    from idgrec_tpu.config import Config
+    from idgrec_tpu.data.dataset import make_synthetic_dataset
+    from idgrec_tpu.engine.loop import train_model
+
+    s = args.scale
+    data = make_synthetic_dataset(
+        int(31668 * s), int(38048 * s), int(1_237_259 * s), int(324_147 * s),
+        seed=0, name="yelp2018-scale",
+    )
+    results = {}
+    for cdt in ("bfloat16", "int8"):
+        cfg = Config({
+            "dataset": data.name, "top_K": "[20]",
+            "training_epochs": str(args.epochs), "interval": str(args.interval),
+            "early_stopping": "100",
+            "embedding_size": "64", "batch_size": "2048",
+            "test_batch_size": "2048", "learn_rate": "0.001",
+            "reg_lambda": "0.0001", "GCN_layer": "3",
+            "compute_dtype": cdt,
+        })
+        t0 = time.time()
+        res = train_model("LightGCN", data, config=cfg, seed=2024,
+                          log_dir=None, echo=False)
+        results[cdt] = {
+            "recall@20": float(res.best.recall[0]),
+            "ndcg@20": float(res.best.ndcg[0]),
+            "best_epoch": res.best.epoch,
+            "wall_s": round(time.time() - t0, 1),
+        }
+        print(f"{cdt}: {results[cdt]}", file=sys.stderr, flush=True)
+    rel = (results["int8"]["recall@20"] / results["bfloat16"]["recall@20"] - 1.0)
+    print(json.dumps({"results": results, "int8_recall_rel_delta": round(rel, 4)}))
+
+
+if __name__ == "__main__":
+    main()

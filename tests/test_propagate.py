@@ -278,3 +278,54 @@ def test_propagate_rows_gradients_match(tiny_dataset, rng):
     g_rows = jax.grad(f_rows)(emb0)
     g_full = jax.grad(f_full)(emb0)
     np.testing.assert_allclose(np.asarray(g_rows), np.asarray(g_full), rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# int8-quantized propagation (compute_dtype = "int8", opt-in)
+
+
+def test_quant_square_close_to_exact(tiny_dataset, rng):
+    exact = build_adjacency(tiny_dataset, "sym", "dense", compute_dtype="float32")
+    quant = build_adjacency(tiny_dataset, "sym", "dense", compute_dtype="int8")
+    x = _x(tiny_dataset, rng)
+    ye, yq = np.asarray(exact.matmul(x)), np.asarray(quant.matmul(x))
+    rel = np.linalg.norm(ye - yq) / np.linalg.norm(ye)
+    assert rel < 0.02, rel  # int8 per-column quantization noise bound
+
+
+def test_quant_square_gradient_straight_through(tiny_dataset, rng):
+    exact = build_adjacency(tiny_dataset, "sym", "dense", compute_dtype="float32")
+    quant = build_adjacency(tiny_dataset, "sym", "dense", compute_dtype="int8")
+    x = _x(tiny_dataset, rng)
+    ge = np.asarray(jax.grad(lambda z: jnp.sum(exact.matmul(z) ** 2))(x))
+    gq = np.asarray(jax.grad(lambda z: jnp.sum(quant.matmul(z) ** 2))(x))
+    assert np.all(np.isfinite(gq))
+    rel = np.linalg.norm(ge - gq) / np.linalg.norm(ge)
+    assert rel < 0.04, rel
+
+
+def test_quant_rect_both_directions(tiny_dataset, rng):
+    exact = build_rect_adjacency(tiny_dataset, "dense", compute_dtype="float32")
+    quant = build_rect_adjacency(tiny_dataset, "dense", compute_dtype="int8")
+    xi = _x(tiny_dataset, rng, square=False)
+    xu = jnp.asarray(rng.normal(size=(tiny_dataset.num_users, 8)).astype(np.float32))
+    for a, b in ((exact.matmul(xi), quant.matmul(xi)),
+                 (exact.t_matmul(xu), quant.t_matmul(xu))):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.linalg.norm(a - b) / np.linalg.norm(a) < 0.02
+    g = jax.grad(lambda z: jnp.sum(quant.t_matmul(quant.matmul(z))))(xi)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_quant_requires_dense_backend(tiny_dataset):
+    with pytest.raises(ValueError):
+        build_adjacency(tiny_dataset, "sym", "gather", compute_dtype="int8")
+    with pytest.raises(ValueError):
+        build_rect_adjacency(tiny_dataset, "bitpack", compute_dtype="int8")
+
+
+def test_quant_zero_column_safe(tiny_dataset):
+    quant = build_adjacency(tiny_dataset, "sym", "dense", compute_dtype="int8")
+    x = jnp.zeros((tiny_dataset.num_nodes, 8), jnp.float32)
+    y = np.asarray(quant.matmul(x))
+    assert np.all(y == 0.0) and np.all(np.isfinite(y))
