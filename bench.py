@@ -49,6 +49,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from idgrec_tpu.compile_cache import enable as _enable_cache
+
+    _enable_cache()
+
     from idgrec_tpu.config import Config
     from idgrec_tpu.data.dataset import make_synthetic_dataset
     from idgrec_tpu.engine.evaluator import Evaluator

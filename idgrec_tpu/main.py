@@ -37,6 +37,9 @@ def parse_args(argv=None):
 
 
 def main(argv=None) -> int:
+    from idgrec_tpu.compile_cache import enable as _enable_cache
+
+    _enable_cache()
     args = parse_args(argv)
 
     print("ID-GRec-TPU: a TPU-native framework for ID-based graph recommendation")

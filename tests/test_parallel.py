@@ -108,3 +108,9 @@ def test_distributed_helpers_single_process():
     assert 0 <= distributed.process_index() < distributed.process_count()
     s = distributed.host_shard(100)
     assert s.start == 0 and s.stop in (100, -(-100 // distributed.process_count()))
+
+
+def test_is_primary_single_process():
+    from idgrec_tpu.parallel import distributed
+
+    assert distributed.is_primary() is True
