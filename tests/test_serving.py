@@ -55,3 +55,15 @@ def test_recommend_odd_batch_sizes(trained):
     for b in (1, 3, 17):
         items, scores = rec.recommend(list(range(b)), k=4)
         assert items.shape == (b, 4)
+
+
+def test_recommend_approx_topk(trained):
+    from idgrec_tpu.serving import Recommender
+
+    data, cfg, result = trained
+    rec = Recommender.from_train_result("LightGCN", data, cfg, result,
+                                        topk_mode="approx")
+    items, scores = rec.recommend([0, 1], k=5)
+    assert items.shape == (2, 5) and scores.shape == (2, 5)
+    import numpy as np
+    assert np.all(items >= 0) and np.all(items < data.num_items)
