@@ -78,15 +78,24 @@ class IMPGCN(RecModel):
         side = self.graph.matmul(ego)
         gates = self._group_gates(params, ego, side, k_gate, training)
 
-        # all_group_embeddings[layer][group]; layer 0 shared per group
-        per_group = [ego for _ in range(self.num_groups)]
-        layer_sums = [self.num_groups * ego]  # sum over identical copies
+        # The G per-group chains are independent over the SAME
+        # adjacency, so they run as ONE feature-batched propagation:
+        # each layer reads the interaction matrix once for all groups
+        # (G× less of the HBM traffic the step is bound by) at d·G MXU
+        # width. The per-group gated operator is g⊙(Â(g⊙x)) with
+        # BINARY gates (g² = g), so pre/post scaling the batched
+        # columns reproduces the reference's per-group subgraph SpMM
+        # chain exactly (IMPGCN.py:66-81). Layer 0 is shared per group
+        # (sum over identical copies = G·ego, IMPGCN.py:72-81 quirk).
+        G, d = self.num_groups, ego.shape[1]
+        gate_cols = jnp.repeat(gates.T, d, axis=1)  # [N, G*d], group-major
+        h = jnp.tile(ego, (1, G))
+        layer_sums = [self.num_groups * ego]
         for _ in range(1, self.num_layers):
-            per_group = [
-                self.graph.matmul(per_group[g], gate=gates[g])
-                for g in range(self.num_groups)
-            ]
-            layer_sums.append(sum(per_group))
+            h = self.graph.matmul(h * gate_cols) * gate_cols
+            layer_sums.append(
+                sum(h[:, g * d : (g + 1) * d] for g in range(G))
+            )
         final = jnp.mean(jnp.stack(layer_sums, axis=0), axis=0)
         return split_user_item(final, self.num_users)
 
