@@ -27,9 +27,11 @@ from idgrec_tpu.models.base import (
 from idgrec_tpu.models.registry import register
 from idgrec_tpu.ops import losses
 from idgrec_tpu.ops.propagate import (
+    DenseSquareAdj,
     build_adjacency,
     build_dropout_adjacency,
     build_dropout_shared,
+    shared_chain_matmul,
 )
 
 
@@ -56,6 +58,19 @@ class SGL(RecModel):
         self.graph = build_adjacency(data, "sym", self.backend, compute_dtype=self.compute_dtype)
         # shared matrix state for dropout views (uploaded once)
         self._m_bin = build_dropout_shared(data, self.backend)
+        # feature-batched propagation: all 3 chains (clean + 2 views)
+        # share ONE sweep of the binary matrix per layer
+        # (shared_chain_matmul) — valid when the clean operator also
+        # factors over the binary matrix (binary interaction counts)
+        # and the dense backend is in play
+        import numpy as _np
+
+        self._batched = (
+            isinstance(self.graph, DenseSquareAdj)
+            and not self.graph.has_diag
+            and self.graph.quant == "none"
+            and bool(_np.all(data.csr_vals == 1))
+        )
 
     def epoch_context(self, params, state, epoch, np_rng):
         """Two augmented graphs per epoch (SGL.py:130-143); for 'rw'
@@ -83,13 +98,33 @@ class SGL(RecModel):
             layers.append(h)
         return jnp.mean(jnp.stack(layers, axis=0), axis=0)
 
-    def loss_terms(self, params, state, ctx, batch, rng, epoch):
+    def _propagate_chains(self, ctx, emb0):
+        """(final, view1, view2) — batched single-sweep path when the
+        dense backend + binary counts allow it, else three passes."""
         graphs_1, graphs_2 = ctx
+        if not self._batched:
+            return (
+                lightgcn_propagate(self.graph, emb0, self.num_layers),
+                self._aggregate_multi(graphs_1, emb0),
+                self._aggregate_multi(graphs_2, emb0),
+            )
+        hc = h1 = h2 = emb0
+        acc_c, acc_1, acc_2 = emb0, emb0, emb0
+        for layer in range(self.num_layers):
+            g1 = graphs_1[layer % len(graphs_1)]
+            g2 = graphs_2[layer % len(graphs_2)]
+            hc, h1, h2 = shared_chain_matmul(
+                self._m_bin, [self.graph, g1, g2], [hc, h1, h2],
+                compute_dtype=self.graph.compute_dtype_name,
+            )
+            acc_c, acc_1, acc_2 = acc_c + hc, acc_1 + h1, acc_2 + h2
+        n = self.num_layers + 1
+        return acc_c / n, acc_1 / n, acc_2 / n
+
+    def loss_terms(self, params, state, ctx, batch, rng, epoch):
         emb0 = concat_user_item(params)
-        final = lightgcn_propagate(self.graph, emb0, self.num_layers)
+        final, view1, view2 = self._propagate_chains(ctx, emb0)
         user_all, item_all = split_user_item(final, self.num_users)
-        view1 = self._aggregate_multi(graphs_1, emb0)
-        view2 = self._aggregate_multi(graphs_2, emb0)
         u1, i1 = split_user_item(view1, self.num_users)
         u2, i2 = split_user_item(view2, self.num_users)
 

@@ -472,6 +472,58 @@ class BitDropSquareAdj:
         return jnp.concatenate([yu, yi], axis=0).astype(x.dtype)
 
 
+def shared_chain_matmul(m_bin: jnp.ndarray, chains, xs, compute_dtype: str = "bfloat16"):
+    """ONE dual sweep of a shared binary matrix applied to k chains.
+
+    SGL-style models propagate several independent chains per step
+    whose operators all factor over the SAME binary interaction matrix
+    (clean graph + edge-dropout views: Â_k = diag(L_k)·(M − D_k)·diag(R_k)
+    with tiny per-view dropped-edge sets D_k — tools.py:67-92). Since
+    the step is HBM-bound on reading M, feature-batching the chains
+    into one [N, k·d] matmul divides adjacency traffic by k and runs
+    the MXU at k·d width; the per-view corrections are sorted
+    segment-sums over ~ratio·nnz dropped edges (cheap).
+
+    chains: DenseSquareAdj (no self-loop diag) or DenseDropSquareAdj
+    instances whose scales/drop-lists apply over `m_bin`; xs: matching
+    [num_users+num_items, d] inputs. Returns the per-chain outputs —
+    numerically equal (per dtype policy) to [c.matmul(x) for c, x ...].
+    """
+    cdt = jnp.dtype(compute_dtype)
+    nu, ni = chains[0].num_users, chains[0].num_items
+    u_pad, i_pad = m_bin.shape
+    zi_blocks, zu_blocks = [], []
+    for c, x in zip(chains, xs):
+        xu, xi = x[:nu], x[nu:]
+        zi_blocks.append(c.right_i[:, None] * xi.astype(jnp.float32))
+        zu_blocks.append(c.right_u[:, None] * xu.astype(jnp.float32))
+    zi = _pad_rows(jnp.concatenate(zi_blocks, axis=1), i_pad).astype(cdt)
+    zu = _pad_rows(jnp.concatenate(zu_blocks, axis=1), u_pad).astype(cdt)
+    mm = m_bin.astype(cdt)
+    yu_all = jnp.matmul(mm, zi, preferred_element_type=jnp.float32)[:nu]
+    yi_all = jnp.matmul(mm.T, zu, preferred_element_type=jnp.float32)[:ni]
+    outs = []
+    d = xs[0].shape[1]
+    for k, (c, x) in enumerate(zip(chains, xs)):
+        yu = yu_all[:, k * d : (k + 1) * d]
+        yi = yi_all[:, k * d : (k + 1) * d]
+        if isinstance(c, (DenseDropSquareAdj, BitDropSquareAdj)):
+            drop_u = jax.ops.segment_sum(
+                jnp.take(zi_blocks[k], c.du_cols, axis=0) * c.du_vals[:, None],
+                c.du_rows, num_segments=nu, indices_are_sorted=True,
+            )
+            drop_i = jax.ops.segment_sum(
+                jnp.take(zu_blocks[k], c.di_cols, axis=0) * c.di_vals[:, None],
+                c.di_rows, num_segments=ni, indices_are_sorted=True,
+            )
+            yu = yu - drop_u
+            yi = yi - drop_i
+        yu = c.left_u[:, None] * yu
+        yi = c.left_i[:, None] * yi
+        outs.append(jnp.concatenate([yu, yi], axis=0).astype(x.dtype))
+    return outs
+
+
 def build_binary_count_matrix(data: Dataset) -> jnp.ndarray:
     """Shared binary int8 [U, I] interaction matrix for dropout graphs
     (the reference's augmentation is binary — tools.py:70,80)."""
