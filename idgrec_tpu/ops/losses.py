@@ -129,9 +129,12 @@ def uniform_loss(embedding: jnp.ndarray) -> jnp.ndarray:
     sq = jnp.sum(e * e, axis=1)
     d2 = sq[:, None] + sq[None, :] - 2.0 * _matmul(e, e.T)
     n = e.shape[0]
-    iu = jnp.triu_indices(n, k=1)
-    pair_d2 = d2[iu]
-    return jnp.log(jnp.mean(jnp.exp(-2.0 * pair_d2)))
+    # mean over strict-upper-triangle pairs WITHOUT a triu gather (a
+    # 2-index gather of n(n-1)/2 elements dominates the whole training
+    # step on TPU): exp(-2·d2) is symmetric with unit diagonal (d2_ii
+    # = 0), so Σ_{i<j} = (Σ_all − n) / 2 exactly.
+    total = (jnp.sum(jnp.exp(-2.0 * d2)) - n) / 2.0
+    return jnp.log(total / (n * (n - 1) / 2.0))
 
 
 # ---------------------------------------------------------------------------
