@@ -17,6 +17,7 @@ early stopping and runs a final evaluation after the last epoch
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from idgrec_tpu.models.base import (
     RecModel,
@@ -63,13 +64,11 @@ class SGL(RecModel):
         # (shared_chain_matmul) — valid when the clean operator also
         # factors over the binary matrix (binary interaction counts)
         # and the dense backend is in play
-        import numpy as _np
-
         self._batched = (
             isinstance(self.graph, DenseSquareAdj)
             and not self.graph.has_diag
             and self.graph.quant == "none"
-            and bool(_np.all(data.csr_vals == 1))
+            and bool(np.all(data.csr_vals == 1))
         )
 
     def epoch_context(self, params, state, epoch, np_rng):
