@@ -25,6 +25,10 @@ def enable(cache_dir: str | None = None) -> str | None:
         return None
     import jax
 
+    if jax.default_backend() not in ("tpu", "axon"):
+        # CPU AOT artifacts are machine-feature-pinned; reloading one
+        # compiled elsewhere can SIGILL — only cache device programs
+        return None
     path = cache_dir or os.environ.get("IDGREC_CACHE_DIR", _DEFAULT_DIR)
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
