@@ -81,3 +81,12 @@ def topk_metric_sums(
         "ndcg": jnp.stack(ndcgs),
         "count": jnp.sum(valid_f),
     }
+
+
+def f1(precision, recall):
+    """Element-wise F1 from per-k precision/recall arrays
+    (metrics.py:39-46: 0 where precision + recall == 0)."""
+    precision = jnp.asarray(precision, jnp.float32)
+    recall = jnp.asarray(recall, jnp.float32)
+    denom = precision + recall
+    return jnp.where(denom > 0, 2.0 * precision * recall / jnp.maximum(denom, 1e-30), 0.0)

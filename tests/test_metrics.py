@@ -76,3 +76,15 @@ def test_perfect_ranking():
     assert float(got["recall"][0]) == 1.0
     assert float(got["ndcg"][0]) == 1.0
     assert float(got["recall"][1]) == 1.0
+
+
+def test_f1_matches_reference_semantics():
+    import numpy as np
+    from idgrec_tpu.ops.metrics import f1
+
+    pre = np.array([0.5, 0.0, 0.2], np.float32)
+    rec = np.array([0.25, 0.0, 0.3], np.float32)
+    out = np.asarray(f1(pre, rec))
+    # reference loop (metrics.py:39-46)
+    exp = [(2 * p * r / (p + r)) if p + r > 0 else 0.0 for p, r in zip(pre, rec)]
+    np.testing.assert_allclose(out, exp, rtol=1e-6)
