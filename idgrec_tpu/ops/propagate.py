@@ -622,9 +622,14 @@ class FusedSquareAdj:
             u_pad, i_pad = self.m8.shape
             zu_p = _pad_rows(zu, u_pad)
             zi_p = _pad_rows(zi, i_pad)
-            if i_pad * x.shape[1] * 4 <= fusedmm.MAX_YI_VMEM_BYTES:
+            d = x.shape[1]
+            kernel_fits = (
+                i_pad * d * 4 <= fusedmm.MAX_YI_VMEM_BYTES  # single-panel
+                or u_pad * d * 4 <= fusedmm.MAX_YU_VMEM_BYTES  # panelized
+            )
+            if kernel_fits:
                 yu, yi = quant_fused_dual(self.m8, zi_p, zu_p, self.interpret)
-            else:  # yi accumulator over VMEM budget: XLA int8 dual matmul
+            else:  # both accumulators over VMEM budget: XLA int8 matmuls
                 yu, yi = quant_dual_matmul(self.m8, zi_p, zu_p)
             yu, yi = yu[: self.num_users], yi[: self.num_items]
         else:

@@ -329,3 +329,23 @@ def test_quant_zero_column_safe(tiny_dataset):
     x = jnp.zeros((tiny_dataset.num_nodes, 8), jnp.float32)
     y = np.asarray(quant.matmul(x))
     assert np.all(y == 0.0) and np.all(np.isfinite(y))
+
+
+def test_panelized_int8_kernel_matches(monkeypatch):
+    """Force the panelized fused-int8 branch (big-graph path) in
+    interpret mode and compare against plain int8 matmuls."""
+    import jax
+    import jax.numpy as jnp
+    from idgrec_tpu.ops import fusedmm
+
+    monkeypatch.setattr(fusedmm, "MAX_YI_VMEM_BYTES", 1)  # small kernel off
+    rng = np.random.default_rng(0)
+    U, I = fusedmm.TU, fusedmm.PANEL * 2  # two panels
+    m8 = jnp.asarray(rng.integers(0, 2, size=(U, I), dtype=np.int8))
+    qu = jnp.asarray(rng.integers(-10, 11, size=(U, 8), dtype=np.int8))
+    qi = jnp.asarray(rng.integers(-10, 11, size=(I, 8), dtype=np.int8))
+    yu, yi = fusedmm.fused_adj_matmul_int8(m8, qu, qi, interpret=True)
+    ryu = jnp.matmul(m8, qi, preferred_element_type=jnp.int32).astype(jnp.float32)
+    ryi = jnp.matmul(m8.T, qu, preferred_element_type=jnp.int32).astype(jnp.float32)
+    np.testing.assert_array_equal(np.asarray(yu), np.asarray(ryu))
+    np.testing.assert_array_equal(np.asarray(yi), np.asarray(ryi))
