@@ -47,11 +47,14 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def pad_matrix(m: np.ndarray) -> np.ndarray:
-    """Zero-pad an int8 [U, I] matrix to tile multiples (items to a
-    PANEL multiple so the panelized int8 kernel's grid divides evenly)."""
+def pad_matrix(m: np.ndarray, item_multiple: int = TI) -> np.ndarray:
+    """Zero-pad an int8 [U, I] matrix to tile multiples.
+
+    item_multiple: TI for the bf16 kernel (default — PANEL padding
+    would add up to 4095 zero columns of pure HBM waste per sweep);
+    PANEL for the int8 path so the panelized kernel's grid divides."""
     u, i = m.shape
-    out = np.zeros((_round_up(u, TU), _round_up(i, PANEL)), np.int8)
+    out = np.zeros((_round_up(u, TU), _round_up(i, item_multiple)), np.int8)
     out[:u, :i] = m
     return out
 

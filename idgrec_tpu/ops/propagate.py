@@ -632,6 +632,16 @@ class FusedSquareAdj:
             else:  # both accumulators over VMEM budget: XLA int8 matmuls
                 yu, yi = quant_dual_matmul(self.m8, zi_p, zu_p)
             yu, yi = yu[: self.num_users], yi[: self.num_items]
+        elif self.m8.shape[1] * x.shape[1] * 4 > fusedmm.MAX_YI_VMEM_BYTES:
+            # bf16 kernel's yi scratch would overflow VMEM (wide x from
+            # multi-chain feature batching, or a very wide catalog):
+            # two XLA matmuls over the same padded matrix
+            u_pad, i_pad = self.m8.shape
+            mm = self.m8.astype(jnp.bfloat16)
+            yu = jnp.matmul(mm, _pad_rows(zi.astype(jnp.bfloat16), i_pad),
+                            preferred_element_type=jnp.float32)[: self.num_users]
+            yi = jnp.matmul(mm.T, _pad_rows(zu.astype(jnp.bfloat16), u_pad),
+                            preferred_element_type=jnp.float32)[: self.num_items]
         else:
             yu, yi = fusedmm.fused_adj_matmul(self.m8, zu, zi, self.interpret)
         yu = left_u[:, None] * yu
@@ -741,9 +751,12 @@ def build_adjacency(
     requested = backend
     backend = _select_backend(data, backend)
     if quant != "none":
-        if requested == "auto" and backend == "dense":
-            # the single-sweep int8 Pallas kernel is the fastest
-            # quantized path (one M read + int8 MXU dots)
+        if requested == "auto" and backend == "dense" and jax.device_count() == 1:
+            # single chip: the single-sweep int8 Pallas kernel is the
+            # fastest quantized path (one M read + int8 MXU dots).
+            # Multi-chip stays on 'dense' — XLA partitions its int8
+            # matmuls over the mesh, whereas the Pallas custom call
+            # would force the row-sharded matrix to be gathered.
             backend = "fused"
         if backend not in ("dense", "fused"):
             raise ValueError(
@@ -788,7 +801,10 @@ def build_adjacency(
         return BitSquareAdj(p, pt, lu, li, ru, ri, diag_u, diag_i,
                             nu, ni, has_diag, _bitpack_interpret())
     if backend == "fused":
-        m8 = device_put_chunked(fusedmm.pad_matrix(_count_matrix_int8(data)))
+        item_mult = fusedmm.PANEL if quant != "none" else fusedmm.TI
+        m8 = device_put_chunked(
+            fusedmm.pad_matrix(_count_matrix_int8(data), item_mult)
+        )
         return FusedSquareAdj(m8, lu, li, ru, ri, diag_u, diag_i,
                               nu, ni, has_diag, _bitpack_interpret(), quant)
     m_np = _count_matrix_int8(data)

@@ -37,17 +37,27 @@ def initialize(coordinator_address: str | None = None,
     global _initialized
     if _initialized:
         return
+    explicit = (
+        coordinator_address is not None
+        or num_processes is not None
+        or process_id is not None
+    )
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-        _initialized = True
     except (ValueError, RuntimeError):
-        # single-process environment (no coordinator metadata): fine —
-        # jax.devices() already covers the locally attached chips
-        _initialized = True
+        if explicit:
+            # the caller named a cluster: failing to join it must NOT
+            # silently degrade to N independent single-process runs
+            # (every host would claim process_index 0 and fight over
+            # logs/checkpoints while collectives hang)
+            raise
+        # autodetection found no coordinator metadata: single-process
+        # environment — jax.devices() covers the local chips
+    _initialized = True
 
 
 def process_count() -> int:
@@ -68,7 +78,15 @@ def is_primary() -> bool:
 def host_shard(n: int) -> slice:
     """This host's contiguous shard of an n-element per-epoch stream
     (data-parallel input feeding: each host samples/feeds only its
-    slice; GSPMD stitches the global batch from per-host shards)."""
-    per = -(-n // jax.process_count())
-    start = process_index() * per
-    return slice(start, min(start + per, n))
+    slice; GSPMD stitches the global batch from per-host shards).
+
+    The remainder is spread over the leading hosts, so shard sizes
+    differ by at most 1 and none is empty while n >= process_count.
+    Lockstep feeding needs EQUAL per-host shapes — pad n to a
+    process_count multiple before sharding (the engine's static-shape
+    batching already rounds the epoch this way)."""
+    count = jax.process_count()
+    idx = process_index()
+    base, rem = divmod(n, count)
+    start = idx * base + min(idx, rem)
+    return slice(start, start + base + (1 if idx < rem else 0))

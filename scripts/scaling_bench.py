@@ -113,9 +113,9 @@ def main() -> None:
     U_pad, I_pad = 31_744, 38_144
     steps = NNZ // B + 1
     sweeps = 12  # 3 fwd + 3 bwd applications x 2 directions (dense backend)
-    hbm_gbps = 670.0       # measured effective on this v5e chip (bench.py)
-    ici_gbps = 2 * 400.0   # v5e per-chip bi-dir ICI (2 links x ~400 GB/s... conservative: 100)
-    ici_gbps = 100.0       # conservative per-chip usable ICI for small transfers
+    hbm_gbps = 670.0   # measured effective on this v5e chip (bench.py)
+    ici_gbps = 100.0   # conservative usable per-chip ICI for small transfers
+                       # (v5e links total well above this)
     model_rows = []
     for n in N_DEVICES:
         adj_bytes = U_pad * I_pad / n            # int8, row-sharded

@@ -97,7 +97,6 @@ def test_latent_synthetic_dataset_structure():
     assert d.num_train + d.num_test <= 50 * 80
     # train/test disjoint per user (split of one top-k draw)
     import numpy as np
-    train = set(zip(*np.nonzero(d.to_dense_matrix()))) if hasattr(d, "to_dense_matrix") else None
     users = np.repeat(np.arange(50), np.diff(d.row_ptr))
     train_pairs = set(zip(users.tolist(), d.col_idx.tolist()))
     test_pairs = set()
