@@ -114,3 +114,15 @@ def test_is_primary_single_process():
     from idgrec_tpu.parallel import distributed
 
     assert distributed.is_primary() is True
+
+
+def test_int8_auto_prefers_partitionable_dense_on_multidevice():
+    """With >1 device visible (8 virtual CPU devices here), auto+int8
+    must stay on the XLA-partitionable dense backend, not the Pallas
+    fused kernel (which would force gathering the sharded matrix)."""
+    from idgrec_tpu.data.dataset import make_synthetic_dataset
+    from idgrec_tpu.ops.propagate import DenseSquareAdj, build_adjacency
+
+    data = make_synthetic_dataset(64, 96, 600, 100, seed=0)
+    adj = build_adjacency(data, "sym", "auto", compute_dtype="int8")
+    assert isinstance(adj, DenseSquareAdj) and adj.quant == "int8"
