@@ -123,15 +123,22 @@ def build_csr(users: np.ndarray, items: np.ndarray, num_users: int) -> tuple[np.
 
 
 def fill_count_matrix(row_ptr: np.ndarray, col_idx: np.ndarray,
-                      num_users: int, num_items: int) -> np.ndarray | None:
+                      num_users: int, num_items: int,
+                      rows_out: int | None = None,
+                      cols_out: int | None = None) -> np.ndarray | None:
+    """Dense int8 count matrix from CSR; optional zero-padded output
+    shape (rows_out, cols_out) — the C fill uses cols_out as the row
+    stride, so padding columns/rows stay zero."""
     lib = _load()
     if lib is None:
         return None
+    rows_out = rows_out or num_users
+    cols_out = cols_out or num_items
     row_ptr = np.ascontiguousarray(row_ptr, np.int64)
     col_idx = np.ascontiguousarray(col_idx, np.int32)
-    out = np.zeros((num_users, num_items), np.int8)
+    out = np.zeros((rows_out, cols_out), np.int8)
     lib.idg_fill_count_matrix(_ptr(row_ptr, _i64p), _ptr(col_idx, _i32p),
-                              num_users, num_items, _ptr(out, _i8p))
+                              num_users, cols_out, _ptr(out, _i8p))
     return out
 
 

@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from idgrec_tpu.data import native as data_native
 from idgrec_tpu.data.dataset import Dataset
 from idgrec_tpu.data import graph as graph_lib
 from idgrec_tpu.data.graph import SparseGraph
@@ -63,8 +64,20 @@ def _count_matrix_int8(data: Dataset) -> np.ndarray:
     """Int8 interaction-count matrix, zero-padded to 128-multiples in
     both dims (padding rows/cols contribute nothing to propagation and
     make the array mesh-shardable for any model-axis size ≤ 128)."""
+    up, ip = _pad_up(data.num_users), _pad_up(data.num_items)
+    if bool(np.all(data.csr_vals == 1)):
+        # native C++ fill (data/native.py): one CSR walk writing
+        # straight into the padded buffer — the numpy fancy-indexed
+        # assignment below scatters through a multi-GB array at
+        # amazon-book scale. Increment-based, so binary counts only.
+        m = data_native.fill_count_matrix(
+            data.row_ptr, data.col_idx, data.num_users, data.num_items,
+            rows_out=up, cols_out=ip,
+        )
+        if m is not None:
+            return m
     users = np.repeat(np.arange(data.num_users, dtype=np.int64), np.diff(data.row_ptr))
-    m = np.zeros((_pad_up(data.num_users), _pad_up(data.num_items)), np.int8)
+    m = np.zeros((up, ip), np.int8)
     m[users, data.col_idx] = np.minimum(data.csr_vals, 127).astype(np.int8)
     return m
 
