@@ -103,8 +103,13 @@ class Evaluator:
     """Jitted full-catalog evaluator for one model/dataset pair."""
 
     def __init__(self, model: RecModel, data: Dataset, config: Config,
-                 users: list[int] | None = None):
+                 users: list[int] | None = None, mesh=None, pad_meta=None):
         self.model = model
+        self.mesh = mesh
+        # (params_meta, state_meta) when the engine stores row-padded
+        # sharded state (parallel/padding.py); sliced back before the
+        # model sees it
+        self.pad_meta = pad_meta
         self.data = data
         self.top_ks = tuple(config.int_list("top_K"))
         self.max_k = max(self.top_ks)
@@ -119,7 +124,14 @@ class Evaluator:
         self._sweep = jax.jit(self._sweep_impl)
 
     def _sweep_impl(self, params, state, ctx, rng, users, valid, truth, excl_rows, excl_cols, consts):
-        with self.model.bound_constants(consts):
+        from idgrec_tpu.parallel.mesh import use_mesh
+
+        if self.pad_meta is not None:
+            from idgrec_tpu.parallel import padding
+
+            params = padding.unpad_tree(params, self.pad_meta[0])
+            state = padding.unpad_tree(state, self.pad_meta[1])
+        with use_mesh(self.mesh), self.model.bound_constants(consts):
             return self._sweep_body(params, state, ctx, rng, users, valid, truth, excl_rows, excl_cols)
 
     def _sweep_body(self, params, state, ctx, rng, users, valid, truth, excl_rows, excl_cols):

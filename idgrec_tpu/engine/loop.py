@@ -44,6 +44,10 @@ class TrainResult:
     best: BestResults
     history: list[dict] = field(default_factory=list)
     last_result: dict | None = None
+    # mesh runs only: the as-trained padded storage (row-sharded over
+    # the 'model' axis, parallel/padding.py); `params`/`state` above
+    # are the true-shape views, which slicing de-shards to replicated
+    sharded_params: Any = None
 
 
 def train_model(
@@ -102,11 +106,14 @@ def train_model(
         for line in split_state:
             logger.info(line)
         evaluators = [
-            Evaluator(model, data, config, users=grp) for grp in split_uids if grp
+            Evaluator(model, data, config, users=grp, mesh=mesh,
+                      pad_meta=runner.pad_meta)
+            for grp in split_uids if grp
         ]
         evaluator = evaluators[0]
     else:
-        evaluator = Evaluator(model, data, config)
+        evaluator = Evaluator(model, data, config, mesh=mesh,
+                              pad_meta=runner.pad_meta)
     best = BestResults(patience=config.int("early_stopping"))
 
     epochs = max_epochs if max_epochs is not None else config.int("training_epochs")
@@ -236,4 +243,9 @@ def train_model(
     )
     logger.event(kind="best", epoch=best.epoch, recall=best.recall, ndcg=best.ndcg)
     logger.close()
-    return TrainResult(params=params, state=state, best=best, history=history, last_result=last_result)
+    # return true-shape (unpadded) state to callers (serving, tests);
+    # keep the padded sharded storage visible for sharding assertions
+    sharded_params = params if mesh is not None else None
+    params, state = runner.unpad(params, state)
+    return TrainResult(params=params, state=state, best=best, history=history,
+                       last_result=last_result, sharded_params=sharded_params)

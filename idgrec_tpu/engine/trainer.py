@@ -68,6 +68,9 @@ class EpochRunner:
         assert sum(self.segment_lengths) == self.num_batches
 
         self._consts = model.constants()
+        # pad meta: identity until shard() pads the training state
+        # (single-chip runs never pad)
+        self.pad_meta = None
         if mesh is not None:
             from idgrec_tpu.parallel.mesh import param_shardings
 
@@ -81,15 +84,43 @@ class EpochRunner:
         return self.opt.init(params)
 
     def shard(self, params, opt_state, state):
-        """Place training state on the mesh (row-sharded tables)."""
+        """Place training state on the mesh: every large [N, d] leaf is
+        zero-padded to a 128-row multiple (parallel/padding.py) and
+        row-sharded over the 'model' axis — real-world row counts
+        (yelp2018's 31,668/38,048) shard on any power-of-two width.
+        The jitted step slices back to true shapes before model code
+        runs, so training numerics are unchanged."""
         if self.mesh is None:
             return params, opt_state, state
+        from idgrec_tpu.parallel import padding
         from idgrec_tpu.parallel.mesh import param_shardings
 
+        width = self.mesh.shape["model"]
+        self.pad_meta = (
+            padding.build_meta(params, width),
+            padding.build_meta(state, width),
+        )
+        params = padding.pad_tree(params, self.pad_meta[0])
+        opt_state = padding.pad_tree(
+            opt_state, padding.build_meta(opt_state, width)
+        )
+        state = padding.pad_tree(state, self.pad_meta[1])
         params = jax.device_put(params, param_shardings(params, self.mesh))
         opt_state = jax.device_put(opt_state, param_shardings(opt_state, self.mesh))
         state = jax.device_put(state, param_shardings(state, self.mesh))
         return params, opt_state, state
+
+    def unpad(self, params, state):
+        """True-shape views of padded training state (for results,
+        serving, and single-chip consumers)."""
+        if self.pad_meta is None:
+            return params, state
+        from idgrec_tpu.parallel import padding
+
+        return (
+            padding.unpad_tree(params, self.pad_meta[0]),
+            padding.unpad_tree(state, self.pad_meta[1]),
+        )
 
     def _shard_batches(self, batches):
         if self.mesh is None:
@@ -111,12 +142,23 @@ class EpochRunner:
         return {"user": wrap(users), "pos": wrap(pos), "neg": wrap(neg)}
 
     def _segment_impl(self, params, opt_state, state, ctx, batches, rng, epoch, consts):
+        if self.pad_meta is not None:
+            from idgrec_tpu.parallel import padding as _padding
+
+            p_meta, s_meta = self.pad_meta
+        else:
+            _padding = p_meta = s_meta = None
+
         def step(carry, batch):
             params, opt_state, state, rng = carry
             rng, sub = jax.random.split(rng)
+            state_t = state if s_meta is None else _padding.unpad_tree(state, s_meta)
 
             def loss_fn(p):
-                terms, new_state = self.model.loss_terms(p, state, ctx, batch, sub, epoch)
+                # padded storage -> true-shape compute view; pad-row
+                # cotangents are zero, so Adam never moves pad rows
+                p_t = p if p_meta is None else _padding.unpad_tree(p, p_meta)
+                terms, new_state = self.model.loss_terms(p_t, state_t, ctx, batch, sub, epoch)
                 total_loss = jnp.asarray(0.0, jnp.float32)
                 for t in terms:
                     total_loss = total_loss + t
@@ -125,9 +167,13 @@ class EpochRunner:
             grads, (terms, new_state) = jax.grad(loss_fn, has_aux=True)(params)
             updates, opt_state = self.opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
+            if s_meta is not None:
+                new_state = _padding.pad_tree(new_state, s_meta)
             return (params, opt_state, new_state, rng), terms
 
-        with self.model.bound_constants(consts):
+        from idgrec_tpu.parallel.mesh import use_mesh
+
+        with use_mesh(self.mesh), self.model.bound_constants(consts):
             (params, opt_state, state, rng), term_hist = jax.lax.scan(
                 step, (params, opt_state, state, rng), batches
             )

@@ -64,7 +64,7 @@ def _fused_kernel(m_ref, zi_ref, zu_ref, yu_ref, yi_ref, yi_acc, sem):
     j = pl.program_id(1)
     ni = pl.num_programs(0)
     nj = pl.num_programs(1)
-    d = zi_ref.shape[1]
+    ti, d = zi_ref.shape
 
     @pl.when(j == 0)
     def _():
@@ -72,7 +72,7 @@ def _fused_kernel(m_ref, zi_ref, zu_ref, yu_ref, yi_ref, yi_acc, sem):
 
     @pl.when(i == 0)
     def _():
-        yi_acc[pl.ds(j * TI, TI), :] = jnp.zeros((TI, d), jnp.float32)
+        yi_acc[pl.ds(j * ti, ti), :] = jnp.zeros((ti, d), jnp.float32)
 
     mb = m_ref[...].astype(jnp.bfloat16)  # [TU, TI]
     yu_ref[...] += jnp.dot(mb, zi_ref[...], preferred_element_type=jnp.float32)
@@ -89,21 +89,36 @@ def _fused_kernel(m_ref, zi_ref, zu_ref, yu_ref, yi_ref, yi_acc, sem):
         copy.wait()
 
 
+def pick_row_tile(u_pad: int, default: int = TU) -> int | None:
+    """Largest power-of-two row tile (≤ default) dividing u_pad, or None.
+
+    The sharded path (parallel/spmm_shard.py) runs the kernels on
+    per-chip row shards whose height is u_pad_global / mesh_width — a
+    128-multiple but not necessarily a TU-multiple; smaller row tiles
+    keep the kernel applicable with negligible extra grid overhead."""
+    t = default
+    while t >= 128:
+        if u_pad % t == 0:
+            return t
+        t //= 2
+    return None
+
+
 def _fused_call(m8: jnp.ndarray, zu_pad: jnp.ndarray, zi_pad: jnp.ndarray,
-                interpret: bool) -> tuple[jnp.ndarray, jnp.ndarray]:
+                interpret: bool, tu: int = TU) -> tuple[jnp.ndarray, jnp.ndarray]:
     u_pad, i_pad = m8.shape
     d = zi_pad.shape[1]
-    grid = (u_pad // TU, i_pad // TI)
+    grid = (u_pad // tu, i_pad // TI)
     return pl.pallas_call(
         _fused_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TU, TI), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tu, TI), lambda i, j: (i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((TI, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TU, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tu, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((TU, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tu, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # whole-array HBM output
         ),
         out_shape=(
@@ -158,7 +173,7 @@ def _fused_kernel_int8_small(m_ref, qi_ref, qu_ref, yu_ref, yi_ref, yi_acc, sem)
     j = pl.program_id(1)
     ni = pl.num_programs(0)
     nj = pl.num_programs(1)
-    d = qi_ref.shape[1]
+    ti, d = qi_ref.shape
 
     @pl.when(j == 0)
     def _():
@@ -166,7 +181,7 @@ def _fused_kernel_int8_small(m_ref, qi_ref, qu_ref, yu_ref, yi_ref, yi_acc, sem)
 
     @pl.when(i == 0)
     def _():
-        yi_acc[pl.ds(j * TI, TI), :] = jnp.zeros((TI, d), jnp.float32)
+        yi_acc[pl.ds(j * ti, ti), :] = jnp.zeros((ti, d), jnp.float32)
 
     m = m_ref[...]  # int8 [TU, TI]
     yu_ref[...] += jnp.dot(
@@ -185,20 +200,20 @@ def _fused_kernel_int8_small(m_ref, qi_ref, qu_ref, yu_ref, yi_ref, yi_acc, sem)
         copy.wait()
 
 
-def _fused_small_call(m8, qu, qi, interpret):
+def _fused_small_call(m8, qu, qi, interpret, tu: int = TU):
     u_pad, i_pad = m8.shape
     d = qi.shape[1]
-    grid = (u_pad // TU, i_pad // TI)
+    grid = (u_pad // tu, i_pad // TI)
     return pl.pallas_call(
         _fused_kernel_int8_small,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TU, TI), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tu, TI), lambda i, j: (i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((TI, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TU, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tu, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((TU, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tu, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ),
         out_shape=(
@@ -229,23 +244,24 @@ def _fused_kernel_int8(m_ref, qi_ref, qu_ref, yu_ref, yi_ref, yu_acc, sem_u):
     np_ = pl.num_programs(0)
     nu = pl.num_programs(1)
     nj = pl.num_programs(2)
-    d = qi_ref.shape[1]
+    ti, d = qi_ref.shape
+    tu = qu_ref.shape[0]
 
     @pl.when((p == 0) & (j == 0))
     def _():
-        yu_acc[pl.ds(u * TU, TU), :] = jnp.zeros((TU, d), jnp.float32)
+        yu_acc[pl.ds(u * tu, tu), :] = jnp.zeros((tu, d), jnp.float32)
 
     @pl.when((u == 0) & (j == 0))
     def _():
         yi_ref[...] = jnp.zeros_like(yi_ref)
 
-    m = m_ref[...]  # int8 [TU, TI]
-    yu_acc[pl.ds(u * TU, TU), :] += jnp.dot(
+    m = m_ref[...]  # int8 [tu, ti]
+    yu_acc[pl.ds(u * tu, tu), :] += jnp.dot(
         m, qi_ref[...], preferred_element_type=jnp.int32
     ).astype(jnp.float32)
     # yi panel block (blocked output, panel-major grid => contiguous
     # revisits; Mosaic keeps the live panel in VMEM)
-    yi_ref[0, pl.ds(j * TI, TI), :] += jax.lax.dot_general(
+    yi_ref[0, pl.ds(j * ti, ti), :] += jax.lax.dot_general(
         m, qu_ref[...],
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
@@ -275,18 +291,20 @@ def fused_adj_matmul_int8(m8: jnp.ndarray, qu: jnp.ndarray, qi: jnp.ndarray,
     requires U_pad * d * 4 <= MAX_YU_VMEM_BYTES)."""
     u_pad, i_pad = m8.shape
     d = qi.shape[1]
+    tu = pick_row_tile(u_pad)
+    assert tu is not None, f"u_pad={u_pad} not a 128-multiple"
     if i_pad * d * 4 <= MAX_YI_VMEM_BYTES:
-        return _fused_small_call(m8, qu, qi, interpret)
-    grid = (i_pad // PANEL, u_pad // TU, PANEL // TI)
+        return _fused_small_call(m8, qu, qi, interpret, tu)
+    grid = (i_pad // PANEL, u_pad // tu, PANEL // TI)
     yu, yi3 = pl.pallas_call(
         _fused_kernel_int8,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TU, TI), lambda p, u, j: (u, p * (PANEL // TI) + j),
+            pl.BlockSpec((tu, TI), lambda p, u, j: (u, p * (PANEL // TI) + j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TI, d), lambda p, u, j: (p * (PANEL // TI) + j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TU, d), lambda p, u, j: (u, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tu, d), lambda p, u, j: (u, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),
@@ -330,9 +348,11 @@ def _fused_fwd(m8, zu, zi, interpret):
     u_pad, i_pad = m8.shape
     u, d = zu.shape
     i = zi.shape[0]
+    tu = pick_row_tile(u_pad)
+    assert tu is not None, f"u_pad={u_pad} not a 128-multiple"
     zu_pad = jnp.pad(zu.astype(jnp.bfloat16), ((0, u_pad - u), (0, 0)))
     zi_pad = jnp.pad(zi.astype(jnp.bfloat16), ((0, i_pad - i), (0, 0)))
-    yu, yi = _fused_call(m8, zu_pad, zi_pad, interpret)
+    yu, yi = _fused_call(m8, zu_pad, zi_pad, interpret, tu)
     return (yu[:u], yi[:i]), m8
 
 

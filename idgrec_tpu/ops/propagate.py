@@ -264,7 +264,17 @@ class DenseSquareAdj:
 
     def matmul(self, x: jnp.ndarray, gate: jnp.ndarray | None = None) -> jnp.ndarray:
         """Â @ x for x [U+I, d]. Optional per-node multiplicative gate
-        (IMPGCN subgraphs) applied on both sides."""
+        (IMPGCN subgraphs) applied on both sides.
+
+        Under an active mesh (parallel.mesh.use_mesh) the application
+        routes through the explicit shard_map + collectives path
+        (parallel/spmm_shard.py): row-sharded M, per-chip 1/N
+        adjacency reads, all_gather + psum_scatter over ICI."""
+        from idgrec_tpu.parallel import spmm_shard
+
+        sharded = spmm_shard.maybe_sharded_square_matmul(self, x, gate, kind="dense")
+        if sharded is not None:
+            return sharded
         cdt = jnp.dtype(self.compute_dtype_name)
         xu, xi = x[: self.num_users], x[self.num_users :]
         right_u, right_i = self.right_u, self.right_i
@@ -622,6 +632,11 @@ class FusedSquareAdj:
         return (n, n)
 
     def matmul(self, x: jnp.ndarray, gate: jnp.ndarray | None = None) -> jnp.ndarray:
+        from idgrec_tpu.parallel import spmm_shard
+
+        sharded = spmm_shard.maybe_sharded_square_matmul(self, x, gate, kind="fused")
+        if sharded is not None:
+            return sharded
         xu, xi = x[: self.num_users], x[self.num_users :]
         right_u, right_i = self.right_u, self.right_i
         left_u, left_i = self.left_u, self.left_i
@@ -764,12 +779,12 @@ def build_adjacency(
     requested = backend
     backend = _select_backend(data, backend)
     if quant != "none":
-        if requested == "auto" and backend == "dense" and jax.device_count() == 1:
-            # single chip: the single-sweep int8 Pallas kernel is the
-            # fastest quantized path (one M read + int8 MXU dots).
-            # Multi-chip stays on 'dense' — XLA partitions its int8
-            # matmuls over the mesh, whereas the Pallas custom call
-            # would force the row-sharded matrix to be gathered.
+        if requested == "auto" and backend == "dense":
+            # the single-sweep int8 Pallas kernel is the fastest
+            # quantized path (one M read + int8 MXU dots). Under a
+            # mesh the explicit shard_map path (parallel/spmm_shard.py)
+            # runs the same kernel per row shard with all_gather +
+            # psum_scatter, so 'fused' no longer regresses multi-chip.
             backend = "fused"
         if backend not in ("dense", "fused"):
             raise ValueError(

@@ -9,9 +9,10 @@ subsystem is new capability, designed per the scaling north star:
   analogue of the sequence axis) sharded over ``model``;
 * losses/gradients reduce over ``data`` with psum (inserted by XLA
   from sharding constraints under jit);
-* propagation consumes the full node table — XLA inserts the
-  all-gather over ``model`` along ICI (an explicit edge-partitioned
-  shard_map kernel is the planned optimization, see parallel/spmm_shard).
+* propagation runs through the explicit shard_map + collectives path
+  (parallel/spmm_shard.py): adjacency row-sharded over ``model``, one
+  all_gather of activation shards + one psum_scatter per application,
+  riding ICI; the single-chip Pallas kernels run unchanged per shard.
 
 All helpers are usable both on real multi-chip platforms and on the
 CPU fake backend (``--xla_force_host_platform_device_count=N``).
@@ -20,10 +21,37 @@ CPU fake backend (``--xla_force_host_platform_device_count=N``).
 from __future__ import annotations
 
 import math
+from contextlib import contextmanager
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# ---------------------------------------------------------------------------
+# Active-mesh context: the engine (trainer/evaluator) sets this while
+# TRACING its jitted step/sweep so the propagation backends
+# (ops/propagate.py) can route square-adjacency applications through the
+# explicit shard_map + collectives path (parallel/spmm_shard.py) instead
+# of leaving the partitioning to GSPMD. Trace-time only — never read
+# inside traced control flow.
+
+_ACTIVE_MESH: Mesh | None = None
+
+
+def get_active_mesh() -> Mesh | None:
+    return _ACTIVE_MESH
+
+
+@contextmanager
+def use_mesh(mesh: Mesh | None):
+    """Bind `mesh` as the active mesh for the duration (no-op if None)."""
+    global _ACTIVE_MESH
+    prev = _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+    try:
+        yield
+    finally:
+        _ACTIVE_MESH = prev
 
 
 def make_mesh(
@@ -63,14 +91,15 @@ def param_shardings(params, mesh: Mesh):
     """Row-shard embedding-like [N, d] tables over the model axis;
     replicate small/odd-shaped leaves.
 
-    Rows must divide the model-axis size (jax.device_put rejects uneven
-    NamedShardings). The heavy arrays are built divisible on purpose:
-    the propagation backends zero-pad the interaction matrix to
-    128-row multiples (ops/propagate.py), which is what makes
-    multi-chip propagation read 1/model_size of the matrix per chip
-    for any model-axis size up to 128. Embedding tables shard when
-    their row count divides; otherwise they replicate (8 MB at
-    yelp2018 scale — gradient reduction handles them either way).
+    Rows must divide the model-axis size (`jax.device_put` rejects
+    uneven NamedShardings outright). Real-world row counts (yelp2018's
+    31,668/38,048 — reference models/LightGCN.py:21-24) get there via
+    the engine's padded-storage layer (parallel/padding.py): every
+    large [N, d] training-state leaf is zero-padded to a 128-row
+    multiple BEFORE placement, so divisibility holds for any
+    power-of-two model axis ≤ 128, matching the adjacency padding in
+    ops/propagate.py. The divisibility check here is the safety net
+    for never-padded odd leaves, which simply replicate.
     """
     model_size = mesh.shape["model"]
 

@@ -1,0 +1,242 @@
+"""Explicit sharded propagation: shard_map + ICI collectives wrapping
+the single-chip propagation kernels.
+
+This is the north-star kernel of the whole framework (BASELINE.json):
+the reference's one heavy primitive is ``torch.sparse.mm(Graph, E)``
+(reference models/LightGCN.py:44) on a single GPU; here the square
+normalized adjacency Â = diag(L)·[[0,M],[Mᵀ,0]]·diag(R) is partitioned
+over the mesh's ``model`` axis and each application runs with explicit
+collectives instead of GSPMD auto-partitioning:
+
+* the int8 count matrix M [U_pad, I_pad] is ROW-sharded: chip k holds
+  M_k = M[k·U_pad/N : (k+1)·U_pad/N, :] — each chip reads 1/N of the
+  adjacency bytes per application (the HBM-bound resource);
+* ``yu = M @ zi`` needs all item activations: one ``all_gather`` of the
+  zi shards over ICI ([I_pad, d] — ~5-10 MB at yelp2018 scale, tiny
+  next to the 1/N adjacency read);
+* ``yi = Mᵀ @ zu`` factors as Σ_k M_kᵀ @ zu_k: each chip contracts its
+  OWN zu rows (no gather needed) and a ``psum_scatter`` both reduces
+  the partial sums and leaves yi row-sharded for the next layer;
+* inside the per-chip body the single-chip Pallas kernels run
+  unchanged (ops/fusedmm.py bf16/int8 single-sweep kernels), so
+  multi-chip *keeps* the single-chip kernel wins — the per-shard row
+  count (U_pad/N, a 128-multiple) picks a smaller row tile via
+  ``fusedmm.pick_row_tile``.
+
+Backward passes ride the same structure: the Pallas kernels carry
+their swapped-cotangent custom VJPs, and JAX transposes the
+collectives around them (all_gather ↔ psum_scatter are adjoint), so
+the backward pass also reads 1/N of M per chip with one gather +
+one reduce-scatter.
+
+The routing happens at trace time inside the engine's jitted step:
+`ops/propagate.py` calls `maybe_sharded_square_matmul` when
+`parallel.mesh.use_mesh` is active with a model axis > 1.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from idgrec_tpu.ops import fusedmm
+
+_MODEL_AXIS = "model"
+
+
+def model_width(mesh) -> int:
+    return int(mesh.shape.get(_MODEL_AXIS, 1))
+
+
+def can_shard(u_pad: int, i_pad: int, mesh) -> bool:
+    """Both padded dims must divide the model axis (guaranteed for the
+    128-multiple padding whenever the axis is a power of two ≤ 128)."""
+    n = model_width(mesh)
+    return n > 1 and u_pad % n == 0 and i_pad % n == 0
+
+
+def _row_sharded(mesh, *arrays):
+    s = NamedSharding(mesh, P(_MODEL_AXIS, None))
+    return tuple(jax.lax.with_sharding_constraint(a, s) for a in arrays)
+
+
+# ---------------------------------------------------------------------------
+# Per-chip local dual products (called inside shard_map)
+
+
+def _local_dual_bf16_fused(m_k, zu_k, zi_all, interpret):
+    """(M_k @ zi_all, M_kᵀ @ zu_k) via the single-sweep Pallas kernel
+    (differentiable: fusedmm custom VJP + collective transposition)."""
+    return fusedmm.fused_adj_matmul(m_k, zu_k, zi_all, interpret)
+
+
+def _local_dual_dense(m_k, zu_k, zi_all, cdt):
+    mm = m_k.astype(cdt)
+    yu = jnp.matmul(mm, zi_all.astype(cdt), preferred_element_type=jnp.float32)
+    yi = jax.lax.dot_general(
+        mm, zu_k.astype(cdt),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return yu, yi
+
+
+def _local_dual_int8(m_k, qu_k, qi_all, interpret):
+    """Raw int8 products (not differentiable — the quant wrapper owns
+    the straight-through VJP). Kernel when accumulators fit, else XLA."""
+    u_loc, i_pad = m_k.shape
+    d = qi_all.shape[1]
+    kernel_fits = (
+        i_pad * d * 4 <= fusedmm.MAX_YI_VMEM_BYTES
+        or u_loc * d * 4 <= fusedmm.MAX_YU_VMEM_BYTES
+    )
+    panel_ok = i_pad % fusedmm.PANEL == 0 or i_pad * d * 4 <= fusedmm.MAX_YI_VMEM_BYTES
+    if kernel_fits and panel_ok:
+        return fusedmm.fused_adj_matmul_int8(m_k, qu_k, qi_all, interpret)
+    yu = jnp.matmul(m_k, qi_all, preferred_element_type=jnp.int32).astype(jnp.float32)
+    yi = jax.lax.dot_general(
+        m_k, qu_k,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    return yu, yi
+
+
+# ---------------------------------------------------------------------------
+# Sharded dual application (fwd structure shared by every flavor)
+
+
+def _shard_dual(local_fn, mesh, m8, zu, zi):
+    """shard_map wrapper: all_gather zi, local dual product over the
+    row shard, psum_scatter yi. Inputs/outputs row-sharded over
+    'model' (replicated over every other mesh axis)."""
+
+    def body(m_k, zu_k, zi_k):
+        zi_all = jax.lax.all_gather(zi_k, _MODEL_AXIS, axis=0, tiled=True)
+        yu_k, yi_part = local_fn(m_k, zu_k, zi_all)
+        yi_k = jax.lax.psum_scatter(
+            yi_part, _MODEL_AXIS, scatter_dimension=0, tiled=True
+        )
+        return yu_k, yi_k
+
+    spec = P(_MODEL_AXIS, None)
+    # check_vma=False: pallas_call outputs carry no varying-mesh-axes
+    # metadata, which the checker requires on every ShapeDtypeStruct
+    return jax.shard_map(
+        body, mesh=mesh, in_specs=(spec, spec, spec), out_specs=(spec, spec),
+        check_vma=False,
+    )(m8, zu, zi)
+
+
+def _quantize_cols(z):
+    """Per-column symmetric int8 quantization with GLOBAL column scales
+    (computed on the sharded array — GSPMD reduces the column max), so
+    sharded and single-chip quantization agree exactly."""
+    amax = jnp.max(jnp.abs(z), axis=0)
+    scale = jnp.where(amax > 0.0, amax / 127.0, 1.0).astype(jnp.float32)
+    q = jnp.round(z / scale).astype(jnp.int8)
+    return q, scale
+
+
+def _quant_dual_sharded(mesh, interpret, m8, zi, zu):
+    qi, si = _quantize_cols(zi)
+    qu, su = _quantize_cols(zu)
+    local = partial(_local_dual_int8, interpret=interpret)
+    yu, yi = _shard_dual(lambda m, a, b: local(m, a, b), mesh, m8, qu, qi)
+    return yu * si, yi * su
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def quant_sharded_dual(mesh, interpret, m8, zi, zu):
+    """(M @ q8(zi), Mᵀ @ q8(zu)) over the mesh — int8 MXU per shard,
+    straight-through quantized backward (sharded counterpart of
+    ops/propagate.quant_fused_dual)."""
+    return _quant_dual_sharded(mesh, interpret, m8, zi, zu)
+
+
+def _qsd_fwd(mesh, interpret, m8, zi, zu):
+    return _quant_dual_sharded(mesh, interpret, m8, zi, zu), m8
+
+
+def _qsd_bwd(mesh, interpret, m8, g):
+    g_yu, g_yi = g
+    dzu, dzi = _quant_dual_sharded(mesh, interpret, m8, g_yi, g_yu)
+    dm = np.zeros(m8.shape, dtype=jax.dtypes.float0)
+    return dm, dzi, dzu
+
+
+quant_sharded_dual.defvjp(_qsd_fwd, _qsd_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Full square-adjacency application under the mesh
+
+
+def _pad_rows_to(x, rows):
+    return jnp.pad(x, ((0, rows - x.shape[0]), (0, 0)))
+
+
+def sharded_square_matmul(adj, x, gate, mesh, *, kind):
+    """Â @ x with the adjacency row-sharded over mesh's 'model' axis.
+
+    adj: DenseSquareAdj (kind='dense') or FusedSquareAdj (kind='fused')
+    — same scale/diag semantics as their single-chip `matmul`, same
+    result to f32 round-off (pinned by tests/test_spmm_shard.py).
+    """
+    m = adj.m8 if kind == "fused" else adj.m
+    u_pad, i_pad = m.shape
+    nu, ni = adj.num_users, adj.num_items
+    xu, xi = x[:nu], x[nu:]
+    right_u, right_i = adj.right_u, adj.right_i
+    left_u, left_i = adj.left_u, adj.left_i
+    if gate is not None:
+        gu, gi = gate[:nu], gate[nu:]
+        right_u, right_i = right_u * gu, right_i * gi
+        left_u, left_i = left_u * gu, left_i * gi
+
+    zu = _pad_rows_to(right_u[:, None] * xu.astype(jnp.float32), u_pad)
+    zi = _pad_rows_to(right_i[:, None] * xi.astype(jnp.float32), i_pad)
+    m, zu, zi = _row_sharded(mesh, m, zu, zi)
+
+    interpret = getattr(adj, "interpret", False)
+    if adj.quant == "int8":
+        yu_raw, yi_raw = quant_sharded_dual(mesh, interpret, m, zi, zu)
+    elif kind == "fused":
+        if i_pad * x.shape[1] * 4 > fusedmm.MAX_YI_VMEM_BYTES:
+            # bf16 kernel's whole-yi VMEM accumulator would overflow
+            # (very wide catalog / multi-chain feature batching):
+            # per-shard XLA bf16 matmuls, same collectives
+            local = partial(_local_dual_dense, cdt=jnp.bfloat16)
+        else:
+            local = partial(_local_dual_bf16_fused, interpret=interpret)
+        yu_raw, yi_raw = _shard_dual(local, mesh, m, zu, zi)
+    else:
+        cdt = jnp.dtype(adj.compute_dtype_name)
+        local = partial(_local_dual_dense, cdt=cdt)
+        yu_raw, yi_raw = _shard_dual(local, mesh, m, zu, zi)
+
+    yu = left_u[:, None] * yu_raw[:nu]
+    yi = left_i[:, None] * yi_raw[:ni]
+    if adj.has_diag:
+        yu = yu + adj.diag_u[:, None] * xu.astype(jnp.float32)
+        yi = yi + adj.diag_i[:, None] * xi.astype(jnp.float32)
+    return jnp.concatenate([yu, yi], axis=0).astype(x.dtype)
+
+
+def maybe_sharded_square_matmul(adj, x, gate, *, kind):
+    """Route to the explicit sharded path when an active mesh with a
+    model axis > 1 is bound (parallel.mesh.use_mesh) and the padded
+    dims divide it; returns None otherwise (caller runs single-chip)."""
+    from idgrec_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.get_active_mesh()
+    if mesh is None:
+        return None
+    m = adj.m8 if kind == "fused" else adj.m
+    if not can_shard(m.shape[0], m.shape[1], mesh):
+        return None
+    return sharded_square_matmul(adj, x, gate, mesh, kind=kind)
