@@ -154,10 +154,23 @@ def train_model(
             start_epoch = meta["epoch"]
             logger.info(f"Resumed from checkpoint at epoch {start_epoch}")
 
+    def place_ctx(ctx):
+        """Device placement for the per-epoch context pytree. Under a
+        mesh, large 2-D leaves (e.g. SGL's per-epoch dropout adjacency
+        matrices) row-shard over 'model' like the main adjacency; small
+        leaves (NCL centroids) replicate. Single chip: plain put."""
+        if mesh is None:
+            return jax.device_put(ctx)
+        from idgrec_tpu.parallel.mesh import param_shardings
+
+        return jax.device_put(ctx, param_shardings(ctx, mesh))
+
     for epoch in range(start_epoch, epochs):
         start = time.time()
-        ctx = model.epoch_context(params, state, epoch, np_rng)
-        ctx = jax.device_put(ctx)
+        # epoch_context sees TRUE-shape (unpadded) params/state — NCL's
+        # k-means E-step must not cluster zero pad rows
+        p_view, s_view = runner.unpad(params, state)
+        ctx = place_ctx(model.epoch_context(p_view, s_view, epoch, np_rng))
 
         rng, sample_key, epoch_key = jax.random.split(rng, 3)
         with maybe_trace(profile_dir if epoch == start_epoch + 1 else None):
@@ -232,7 +245,8 @@ def train_model(
     if not respects_early_stop:
         # SGL-style final evaluation after the last epoch (SGL.py:196)
         rng, eval_key = jax.random.split(rng)
-        ctx = jax.device_put(model.epoch_context(params, state, epochs, np_rng))
+        p_view, s_view = runner.unpad(params, state)
+        ctx = place_ctx(model.epoch_context(p_view, s_view, epochs, np_rng))
         result = last_result = evaluator.evaluate(params, state, ctx, eval_key)
         best.update(result, epochs - 1)
 
