@@ -143,6 +143,48 @@ def test_hard_models_sharded_matches_single_device(model_name, extra, param_tol)
     np.testing.assert_allclose(r_single.best.recall, r_mesh.best.recall, atol=0.02)
 
 
+def test_sharded_items_eval_matches_replicated():
+    """Distributed top-k (evaluator._topk_items_sharded): the item
+    axis stays sharded, each chip local-top-ks its [B, I/N] columns,
+    and a [N, B, k] all_gather merges candidates — results must equal
+    the replicated `lax.top_k` path exactly (VERDICT round-1 item 6;
+    reference anchor batch_test.py:59-68)."""
+    from idgrec_tpu.engine.evaluator import Evaluator
+
+    data = make_synthetic_dataset(67, 83, 1024, 200, seed=13, name="tiny")
+    mesh = make_mesh(8, data_parallel=2)  # model axis 4; 83 cols pad to 84
+    cfg = _cfg()
+    from idgrec_tpu.models import get_model
+
+    model = get_model("LightGCN")(cfg, data)
+    model.device_put()
+    params = model.init_params(jax.random.PRNGKey(0))
+    rng = jax.random.PRNGKey(1)
+
+    ev_single = Evaluator(model, data, cfg)
+    ev_mesh = Evaluator(model, data, cfg, mesh=mesh)
+    assert ev_mesh._items_sharded and not ev_single._items_sharded
+    r1 = ev_single.evaluate(params, {}, (), rng)
+    r2 = ev_mesh.evaluate(params, {}, (), rng)
+    for key in ("recall", "precision", "ndcg"):
+        np.testing.assert_allclose(r1[key], r2[key], rtol=1e-6, atol=1e-7)
+
+    # collective structure: the merge all-gathers only [N, B, k]
+    # candidate tensors, never the [B, I] score matrix
+    import re
+
+    p = ev_mesh.plan
+    compiled = jax.jit(ev_mesh._sweep_impl).lower(
+        params, {}, (), rng, p.users, p.valid, p.truth, p.excl_rows, p.excl_cols,
+        model.constants(),
+    ).compile().as_text()
+    k = ev_mesh.max_k
+    bsz = p.users.shape[1]
+    assert re.search(rf"f32\[\d*,?{bsz},{k}\][^\n]*all-gather", compiled) or \
+        re.search(rf"all-gather[^\n]*f32\[{bsz},{k}\]", compiled), \
+        "candidate all-gather missing from compiled eval sweep"
+
+
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as g
 
