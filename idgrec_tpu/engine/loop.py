@@ -161,9 +161,9 @@ def train_model(
         leaves (NCL centroids) replicate. Single chip: plain put."""
         if mesh is None:
             return jax.device_put(ctx)
-        from idgrec_tpu.parallel.mesh import param_shardings
+        from idgrec_tpu.parallel.mesh import global_put, param_shardings
 
-        return jax.device_put(ctx, param_shardings(ctx, mesh))
+        return global_put(ctx, param_shardings(ctx, mesh))
 
     for epoch in range(start_epoch, epochs):
         start = time.time()

@@ -72,9 +72,9 @@ class EpochRunner:
         # (single-chip runs never pad)
         self.pad_meta = None
         if mesh is not None:
-            from idgrec_tpu.parallel.mesh import param_shardings
+            from idgrec_tpu.parallel.mesh import global_put, param_shardings
 
-            self._consts = jax.device_put(
+            self._consts = global_put(
                 self._consts, param_shardings(self._consts, mesh)
             )
         self._prepare = jax.jit(self._prepare_impl)
@@ -93,7 +93,7 @@ class EpochRunner:
         if self.mesh is None:
             return params, opt_state, state
         from idgrec_tpu.parallel import padding
-        from idgrec_tpu.parallel.mesh import param_shardings
+        from idgrec_tpu.parallel.mesh import global_put, param_shardings
 
         width = self.mesh.shape["model"]
         self.pad_meta = (
@@ -105,9 +105,9 @@ class EpochRunner:
             opt_state, padding.build_meta(opt_state, width)
         )
         state = padding.pad_tree(state, self.pad_meta[1])
-        params = jax.device_put(params, param_shardings(params, self.mesh))
-        opt_state = jax.device_put(opt_state, param_shardings(opt_state, self.mesh))
-        state = jax.device_put(state, param_shardings(state, self.mesh))
+        params = global_put(params, param_shardings(params, self.mesh))
+        opt_state = global_put(opt_state, param_shardings(opt_state, self.mesh))
+        state = global_put(state, param_shardings(state, self.mesh))
         return params, opt_state, state
 
     def unpad(self, params, state):
@@ -127,8 +127,10 @@ class EpochRunner:
             return batches
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        from idgrec_tpu.parallel.mesh import global_put
+
         sharding = NamedSharding(self.mesh, P(None, "data"))
-        return jax.tree.map(lambda a: jax.device_put(a, sharding), batches)
+        return jax.tree.map(lambda a: global_put(a, sharding), batches)
 
     # ------------------------------------------------------------------
     def _prepare_impl(self, users, pos, neg):

@@ -15,8 +15,10 @@ On Cloud TPU the coordinator address / process counts come from the
 TPU metadata environment, so bare `initialize()` suffices; explicit
 arguments are for DCN clusters without that metadata. Training code is
 unchanged — `train_model(..., mesh=make_mesh())` shards over whatever
-`jax.devices()` reports, and per-host data feeding uses
-`process_index` to slice the epoch sample stream.
+`jax.devices()` reports, and every host->device placement goes through
+`parallel.mesh.global_put`, under which each host materializes only
+its addressable shards of the global arrays (validated end-to-end by
+tests/test_multihost.py's real 2-process CPU cluster).
 """
 
 from __future__ import annotations
@@ -75,18 +77,9 @@ def is_primary() -> bool:
     return jax.process_index() == 0
 
 
-def host_shard(n: int) -> slice:
-    """This host's contiguous shard of an n-element per-epoch stream
-    (data-parallel input feeding: each host samples/feeds only its
-    slice; GSPMD stitches the global batch from per-host shards).
-
-    The remainder is spread over the leading hosts, so shard sizes
-    differ by at most 1 and none is empty while n >= process_count.
-    Lockstep feeding needs EQUAL per-host shapes — pad n to a
-    process_count multiple before sharding (the engine's static-shape
-    batching already rounds the epoch this way)."""
-    count = jax.process_count()
-    idx = process_index()
-    base, rem = divmod(n, count)
-    start = idx * base + min(idx, rem)
-    return slice(start, start + base + (1 if idx < rem else 0))
+# NOTE: an earlier design had a `host_shard(n) -> slice` helper for
+# per-host slicing of the epoch sample stream. It was superseded by
+# `parallel.mesh.global_put`: sampling is on-device and deterministic
+# in the shared PRNG key, so every host holds the same (cheap) host
+# copy and the placement callback slices out only the addressable
+# shards — no cross-host coordination of stream offsets needed.

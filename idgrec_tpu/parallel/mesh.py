@@ -82,6 +82,29 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def global_put(tree, shardings):
+    """Multi-process-safe ``jax.device_put``.
+
+    Single-process: plain device_put. Multi-process (pod runs,
+    ``jax.distributed``): ``device_put`` cannot place onto shardings
+    spanning non-addressable devices, so global jax.Arrays are
+    assembled from the per-host data via
+    ``jax.make_array_from_callback`` — each host materializes ONLY its
+    addressable shards (the callback slices the host copy), which is
+    what makes per-host feeding scale: the host never touches remote
+    shards' bytes. Requires the host data to be identical on every
+    process (true for the engine: sampling/init are deterministic in
+    the shared PRNG key)."""
+    if jax.process_count() == 1:
+        return jax.device_put(tree, shardings)
+
+    def place(x, s):
+        arr = np.asarray(x)
+        return jax.make_array_from_callback(arr.shape, s, lambda idx: arr[idx])
+
+    return jax.tree.map(place, tree, shardings)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """1-D per-sample arrays sharded over the data axis."""
     return NamedSharding(mesh, P("data"))

@@ -1,0 +1,70 @@
+"""Multi-host (multi-process) training equivalence.
+
+VERDICT round-1 item 4: the engine must work under
+`jax.process_count() > 1`, where plain `jax.device_put` onto mesh-wide
+shardings is illegal — placement goes through `global_put`
+(parallel/mesh.py), each host materializing only its addressable
+shards. Validated here with a REAL 2-process `jax.distributed` CPU
+cluster (2 local devices per process, 4 global devices, 2x2 mesh)
+trained via the public `train_model` path and compared against the
+identical single-process 4-device run.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "_multihost_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _env():
+    env = dict(os.environ)
+    # fresh backend choice per worker; the parent test env pins CPU
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return env
+
+
+def _run_cluster(nproc: int, local_devices: int, out_path: str):
+    coord = f"127.0.0.1:{_free_port()}"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, coord, str(nproc), str(pid),
+             str(local_devices), out_path],
+            cwd=REPO, env=_env(),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for pid in range(nproc)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out.decode(errors="replace"))
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker rc={p.returncode}\n{out[-4000:]}"
+    with open(out_path) as f:
+        return json.load(f)
+
+
+def test_two_process_training_matches_single_process(tmp_path):
+    multi = _run_cluster(2, 2, str(tmp_path / "multi.json"))
+    single = _run_cluster(1, 4, str(tmp_path / "single.json"))
+
+    assert multi["process_count"] == 2
+    assert single["process_count"] == 1
+    assert len(multi["losses"]) == len(single["losses"]) == 2
+    np.testing.assert_allclose(multi["losses"], single["losses"], rtol=2e-3, atol=1e-4)
+    np.testing.assert_allclose(multi["recall"], single["recall"], atol=1e-6)
+    np.testing.assert_allclose(multi["ndcg"], single["ndcg"], atol=1e-6)

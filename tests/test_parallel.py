@@ -225,8 +225,6 @@ def test_distributed_helpers_single_process():
     distributed.initialize()  # must be a safe no-op single-process
     assert distributed.process_count() >= 1
     assert 0 <= distributed.process_index() < distributed.process_count()
-    s = distributed.host_shard(100)
-    assert s.start == 0 and s.stop in (100, -(-100 // distributed.process_count()))
 
 
 def test_is_primary_single_process():
