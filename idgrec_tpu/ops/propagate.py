@@ -28,6 +28,7 @@ transposed (XLA autodiff for dense; custom VJP inside spmm for gather).
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass
 from functools import partial
 
@@ -43,12 +44,52 @@ from idgrec_tpu.ops import bitmm, fusedmm, gathermm
 from idgrec_tpu.ops.transfer import device_put_chunked
 from idgrec_tpu.ops.spmm import spmm, spmm_transpose
 
-# dense backend memory budget for the int8 count matrix
-DENSE_BYTES_BUDGET = 6 * 1024**3
+# Dense-backend memory budget: the int8 count matrix (and its copies)
+# may use at most this fraction of one device's memory. Conservative
+# because the budget decision is made before the mesh is known — under
+# a model-axis mesh each chip holds only 1/N rows, so sharded runs have
+# extra headroom, never less.
+DENSE_BUDGET_FRACTION = 0.375
+# Per-chip HBM when the backend exposes no memory stats (CPU tests,
+# interpreters): the v5e figure, which makes the effective default
+# budget 6 GiB — the measured-safe yelp2018-scale setting.
+DEFAULT_DEVICE_BYTES = 16 * 1024**3
+
+_logger = logging.getLogger("idgrec_tpu.propagate")
 
 
-def _dense_fits(data: Dataset, budget: int = DENSE_BYTES_BUDGET) -> bool:
-    return data.num_users * data.num_items <= budget
+def device_memory_bytes() -> int:
+    """Per-device memory capacity from the live backend
+    (`memory_stats()['bytes_limit']`), else DEFAULT_DEVICE_BYTES."""
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        limit = int(stats.get("bytes_limit", 0))
+        if limit > 0:
+            return limit
+    except Exception:
+        pass
+    return DEFAULT_DEVICE_BYTES
+
+
+def dense_budget() -> int:
+    return int(device_memory_bytes() * DENSE_BUDGET_FRACTION)
+
+
+def _dense_fits(data: Dataset, copies: int = 1, budget: int | None = None) -> bool:
+    """Would `copies` padded int8 count matrices fit in the budget?
+
+    `copies` accounts for the real storage multiple: the transpose pack
+    pair of `with_transpose` (3x) and the shared binary matrix the
+    per-epoch dropout path keeps alongside the main adjacency (2x)."""
+    budget = dense_budget() if budget is None else budget
+    need = _pad_up(data.num_users) * _pad_up(data.num_items) * copies
+    fits = need <= budget
+    if not fits:
+        _logger.info(
+            "dense adjacency (%d bytes x%d copies) exceeds budget %d; "
+            "auto backend falls back to gather", need // copies, copies, budget,
+        )
+    return fits
 
 
 # dense matrices are zero-padded to this row/col multiple so they shard
@@ -725,8 +766,9 @@ def _split_quant(compute_dtype: str) -> tuple[str, str]:
     return compute_dtype, "none"
 
 
-def _select_backend(data: Dataset, backend: str) -> str:
-    """'auto' picks dense when the int8 count matrix fits, else gather.
+def _select_backend(data: Dataset, backend: str, copies: int = 1) -> str:
+    """'auto' picks dense when `copies` int8 count matrices fit in the
+    device-memory-derived budget (`dense_budget()`), else gather.
 
     'bitpack' (8× smaller storage) is opt-in: measured on a v5e chip the
     VPU bit-unpack (~3 vector ops per unpacked element ≈ 4ms per full
@@ -736,7 +778,7 @@ def _select_backend(data: Dataset, backend: str) -> str:
     budget).
     """
     if backend == "auto":
-        return "dense" if _dense_fits(data) else "gather"
+        return "dense" if _dense_fits(data, copies=copies) else "gather"
     if backend not in ("bitpack", "dense", "fused", "gather"):
         raise ValueError(f"unknown propagation backend {backend!r}")
     return backend
@@ -777,7 +819,8 @@ def build_adjacency(
     """
     compute_dtype, quant = _split_quant(compute_dtype)
     requested = backend
-    backend = _select_backend(data, backend)
+    # with_transpose stores M plus the 3-byte-packed row pair (~2x M)
+    backend = _select_backend(data, backend, copies=3 if with_transpose else 1)
     if quant != "none":
         if requested == "auto" and backend == "dense":
             # the single-sweep int8 Pallas kernel is the fastest
@@ -877,7 +920,9 @@ def build_dropout_shared(data: Dataset, backend: str = "auto"):
     """Per-model shared state for `build_dropout_adjacency` (uploaded
     once, reused every epoch): the binary matrix for 'dense', the
     packed pair for 'bitpack', None for 'gather'."""
-    backend = _select_backend(data, backend)
+    # the shared binary matrix lives alongside the model's main
+    # adjacency for the whole run -> 2 dense copies must fit
+    backend = _select_backend(data, backend, copies=2)
     if backend in ("dense", "fused"):
         # the dropout-correction path runs on the dense binary matrix
         return build_binary_count_matrix(data)
@@ -905,7 +950,9 @@ def build_dropout_adjacency(
     stay exact).
     """
     compute_dtype, _ = _split_quant(compute_dtype)
-    backend = _select_backend(data, backend)
+    # must agree with build_dropout_shared's selection (copies=2): the
+    # shared binary matrix coexists with the model's main adjacency
+    backend = _select_backend(data, backend, copies=2)
     if backend == "gather":
         return GatherSquareAdj(graph_lib.edge_dropout_adjacency(data, drop_ratio, np_rng))
 

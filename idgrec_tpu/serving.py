@@ -53,14 +53,19 @@ class Recommender:
         with model.bound_constants(model.constants()):
             self._repr = jax.jit(model.eval_embeddings)(params, state, ctx, rng)
         jax.block_until_ready(self._repr)
-        # padded per-user positives for masking (int32 [U, P], num_items pad)
+        # Padded per-user positives for masking (int32 [U, P], pad col
+        # num_items — dropped by scatter mode="drop"). Built with one
+        # vectorized CSR->padded scatter (O(nnz), <1s at amazon-book
+        # scale) and kept on HOST: requests gather only their [B, P]
+        # rows, so the multi-GB full matrix never occupies device HBM.
         deg = np.diff(data.row_ptr)
         p = max(int(deg.max()) if deg.size else 1, 1)
         excl = np.full((data.num_users, p), data.num_items, np.int32)
-        for u in range(data.num_users):
-            pos = data.positive_items(u)
-            excl[u, : pos.size] = pos
-        self._excl = jax.device_put(jnp.asarray(excl))
+        if data.nnz:
+            rows = np.repeat(np.arange(data.num_users), deg)
+            slots = np.arange(data.nnz) - np.repeat(data.row_ptr[:-1], deg)
+            excl[rows, slots] = data.col_idx
+        self._excl = excl
         self._score = jax.jit(self._score_impl, static_argnums=(2,))
 
     @classmethod
@@ -94,6 +99,6 @@ class Recommender:
         b_pad = 1 << max(0, (b - 1).bit_length())
         users_pad = np.zeros(b_pad, np.int32)
         users_pad[:b] = users
-        excl = self._excl[jnp.asarray(users_pad)]
+        excl = jnp.asarray(self._excl[users_pad])
         scores, items = self._score(jnp.asarray(users_pad), excl, int(k))
         return np.asarray(items[:b], np.int64), np.asarray(scores[:b])

@@ -349,3 +349,36 @@ def test_panelized_int8_kernel_matches(monkeypatch):
     ryi = jnp.matmul(m8.T, qu, preferred_element_type=jnp.int32).astype(jnp.float32)
     np.testing.assert_array_equal(np.asarray(yu), np.asarray(ryu))
     np.testing.assert_array_equal(np.asarray(yi), np.asarray(ryi))
+
+
+def test_dense_budget_is_memory_aware(tiny_dataset, monkeypatch):
+    """VERDICT round-1 item 8: the dense-vs-gather decision derives
+    from live device memory (`memory_stats()['bytes_limit']` x safety
+    fraction) and accounts for storage copies (`with_transpose` packs
+    ~3x M, the dropout-shared binary matrix keeps 2x resident)."""
+    from idgrec_tpu.ops import propagate as P
+
+    # budget plumbs through from mocked device memory
+    monkeypatch.setattr(P, "device_memory_bytes", lambda: 1000)
+    assert P.dense_budget() == int(1000 * P.DENSE_BUDGET_FRACTION)
+
+    pad_bytes = P._pad_up(tiny_dataset.num_users) * P._pad_up(tiny_dataset.num_items)
+
+    # one copy fits exactly at the padded footprint; 'auto' stays dense
+    monkeypatch.setattr(P, "dense_budget", lambda: pad_bytes)
+    assert P._select_backend(tiny_dataset, "auto") == "dense"
+    # with_transpose (3 copies) no longer fits -> auto falls to gather
+    adj = P.build_adjacency(tiny_dataset, with_transpose=True)
+    assert isinstance(adj, P.GatherSquareAdj)
+    # dropout-shared (2 copies) also falls back
+    assert P._select_backend(tiny_dataset, "auto", copies=2) == "gather"
+
+    # 3 copies fit -> with_transpose keeps the dense backend
+    monkeypatch.setattr(P, "dense_budget", lambda: 3 * pad_bytes)
+    adj = P.build_adjacency(tiny_dataset, with_transpose=True)
+    assert isinstance(adj, P.DenseSquareAdj)
+
+    # no stats available anywhere -> per-platform default (v5e HBM)
+    monkeypatch.undo()
+    monkeypatch.setattr(P.jax, "devices", lambda: [])
+    assert P.device_memory_bytes() == P.DEFAULT_DEVICE_BYTES
