@@ -140,3 +140,86 @@ def test_all_reference_models_covered():
     missing = reference_models - ported
     # ratchet: tighten as models land
     assert len(missing) == 0, f"zoo regressed: missing {sorted(missing)}"
+
+
+@pytest.mark.parametrize("momentum", [0.0, 0.5, 1.0])
+def test_recdcl_momentum_blend_and_history_write_order(momentum):
+    """Pin RecDCL's BYOL-target semantics against a hand-trace of the
+    reference (RecDCL.py:113-122): targets blend the PRE-update
+    history with the current propagated embeddings
+    (hist*m + cur*(1-m)), while the history is overwritten with the
+    CURRENT embeddings — never the blend. momentum=1 must read the old
+    history verbatim; momentum=0 must ignore it (VERDICT round-1
+    weak 7)."""
+    import jax.numpy as jnp
+
+    tiny = make_synthetic_dataset(20, 24, 160, 30, seed=3, name="tiny")
+    # isolate the momentum term: bt/poly coefficients off
+    overrides = {"momentum": momentum, "mom_coeff": 1, "all_bt_coeff": 0,
+                 "poly_coeff": 0}
+    cfg = Config(
+        {**dict(_tiny_config("RecDCL").items()),
+         **{k: str(v) for k, v in overrides.items()}},
+        name="RecDCL",
+    )
+    model = get_model("RecDCL")(cfg, tiny)
+    model.device_put()
+    params = model.init_params(jax.random.PRNGKey(0))
+    state = model.init_state(jax.random.PRNGKey(1))
+    batch = {
+        # duplicate user 5: same index => same written value, so the
+        # scatter is order-independent exactly like torch's assignment
+        "user": jnp.asarray([5, 5, 2, 7], jnp.int32),
+        "pos": jnp.asarray([1, 3, 3, 0], jnp.int32),
+        "neg": jnp.asarray([2, 2, 2, 2], jnp.int32),
+    }
+    with model.bound_constants(model.constants()):
+        terms, new_state = jax.jit(model.loss_terms)(
+            params, state, (), batch, jax.random.PRNGKey(2), 0
+        )
+
+    # hand-trace: current propagated embeddings via the model's own
+    # eval path (same LightGCN aggregation)
+    user_all, item_all = jax.jit(model.eval_embeddings)(
+        params, state, (), jax.random.PRNGKey(2)
+    )
+    u = np.asarray(batch["user"])
+    p = np.asarray(batch["pos"])
+    user_g = np.asarray(user_all, np.float32)[u]
+    pos_g = np.asarray(item_all, np.float32)[p]
+    u_hist = np.asarray(state["u_target_his"])[u]
+    i_hist = np.asarray(state["i_target_his"])[p]
+
+    # the blend reads PRE-update history
+    u_target = u_hist * momentum + user_g * (1.0 - momentum)
+    i_target = i_hist * momentum + pos_g * (1.0 - momentum)
+
+    def norm(x):
+        return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+    w = np.asarray(params["pred_w"], np.float32)
+    b = np.asarray(params["pred_b"], np.float32)
+    cos_u = np.sum(norm(user_g @ w + b) * norm(i_target), axis=-1)
+    cos_i = np.sum(norm(pos_g @ w + b) * norm(u_target), axis=-1)
+    want_mom = -cos_u.mean() / 2 - cos_i.mean() / 2
+    np.testing.assert_allclose(float(terms[2]), want_mom, rtol=2e-5, atol=2e-6)
+
+    # history is overwritten with the CURRENT embeddings (never the
+    # blend), rows outside the batch untouched
+    new_u = np.asarray(new_state["u_target_his"])
+    new_i = np.asarray(new_state["i_target_his"])
+    np.testing.assert_allclose(new_u[u], user_g, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(new_i[p], pos_g, rtol=1e-5, atol=1e-6)
+    untouched_u = np.setdiff1d(np.arange(tiny.num_users), u)
+    untouched_i = np.setdiff1d(np.arange(tiny.num_items), p)
+    np.testing.assert_array_equal(
+        new_u[untouched_u], np.asarray(state["u_target_his"])[untouched_u]
+    )
+    np.testing.assert_array_equal(
+        new_i[untouched_i], np.asarray(state["i_target_his"])[untouched_i]
+    )
+    if momentum == 1.0:
+        # target is the OLD history verbatim
+        np.testing.assert_allclose(u_target, u_hist, rtol=0, atol=0)
+    if momentum == 0.0:
+        np.testing.assert_allclose(u_target, user_g, rtol=0, atol=0)

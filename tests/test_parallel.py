@@ -245,3 +245,52 @@ def test_int8_auto_keeps_fused_kernel_on_multidevice():
     data = make_synthetic_dataset(64, 96, 600, 100, seed=0)
     adj = build_adjacency(data, "sym", "auto", compute_dtype="int8")
     assert isinstance(adj, FusedSquareAdj) and adj.quant == "int8"
+
+
+@pytest.mark.parametrize("model_width", [2, 4, 8])
+def test_training_step_collective_structure(model_width):
+    """VERDICT round-1 item 10, full-step version: compile the jitted
+    TRAINING segment (not just the propagation op) on a
+    (data=8/N, model=N) mesh and assert the expected collectives from
+    the HLO — the explicit all-gather/reduce-scatter pair of the
+    sharded propagation path (parallel/spmm_shard.py), with the
+    activation all-gather at the padded [I, d] node payload (the
+    communicated bytes are activations, never the adjacency)."""
+    import re
+
+    from idgrec_tpu.engine.trainer import EpochRunner
+    from idgrec_tpu.models import get_model
+
+    data = make_synthetic_dataset(64, 64, 512, 64, seed=11, name="tiny")
+    cfg = _cfg()
+    model = get_model("LightGCN")(cfg, data)
+    model.device_put()
+    mesh = make_mesh(8, data_parallel=8 // model_width)
+    runner = EpochRunner(
+        model, learn_rate=0.01, batch_size=64, num_train=data.num_train,
+        mesh=mesh, max_steps_per_call=4,
+    )
+    params = model.init_params(jax.random.PRNGKey(0))
+    opt_state = runner.init_opt_state(params)
+    params, opt_state, state = runner.shard(params, opt_state, model.init_state(jax.random.PRNGKey(1)))
+    rng = jax.random.PRNGKey(2)
+    batches = runner._shard_batches(
+        runner._prepare(*(jnp.zeros(data.num_train, jnp.int32),) * 3)
+    )
+    seg = jax.tree.map(lambda a: jax.lax.slice_in_dim(a, 0, 4, axis=0), batches)
+    compiled = runner._segment.lower(
+        params, opt_state, state, (), seg, rng, jnp.asarray(0, jnp.int32),
+        runner._consts,
+    ).compile().as_text()
+
+    assert re.search(r"all-gather", compiled), f"model={model_width}"
+    assert re.search(r"reduce-scatter", compiled), f"model={model_width}"
+    # activation payload: gathered zi at the full padded node rows
+    i_pad = -(-data.num_items // 128) * 128
+    d = cfg.int("embedding_size")
+    assert re.search(rf"\[{i_pad},{d}\][^\n]*all-gather", compiled) or re.search(
+        rf"all-gather[^\n]*\[{i_pad},{d}\]", compiled
+    ), f"missing [{i_pad},{d}] activation all-gather at model={model_width}"
+    if mesh.shape["data"] > 1:
+        # data-parallel gradient reduction must be present
+        assert re.search(r"all-reduce", compiled), f"model={model_width}"
