@@ -79,6 +79,16 @@ def spmm(graph: SparseGraph, x: jnp.ndarray) -> jnp.ndarray:
         raise ValueError(
             f"spmm shape mismatch: graph {graph.shape} @ x {x.shape}"
         )
+    # explicit-collective path when traced under an active model-axis
+    # mesh (parallel/spmm_shard.py): per-chip edge reads/storage are
+    # 1/N, one all_gather + one psum_scatter of activations per
+    # application — the sharding story for graphs too big for the
+    # dense backend's budget (the regime that needs multi-chip most)
+    from idgrec_tpu.parallel import spmm_shard
+
+    y = spmm_shard.maybe_sharded_spmm(graph, x)
+    if y is not None:
+        return y
     return _spmm(
         graph.n_rows,
         graph.n_cols,

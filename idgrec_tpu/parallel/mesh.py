@@ -131,6 +131,17 @@ def param_shardings(params, mesh: Mesh):
                 and x.shape[0] >= 2 * model_size
                 and x.shape[0] % model_size == 0):
             return NamedSharding(mesh, P("model", None))
+        if (hasattr(x, "ndim") and x.ndim == 1
+                and x.shape[0] >= (1 << 20)
+                and x.shape[0] % model_size == 0):
+            # huge 1-D leaves are sparse-graph edge arrays (COO
+            # rows/cols/vals, ≥1024-padded — data/graph.py): chunk
+            # them over 'model' so per-chip edge storage is 1/N,
+            # matching the sharded gather kernel's edge partition
+            # (parallel/spmm_shard.maybe_sharded_spmm). Node-scale
+            # vectors (degree scales etc.) stay replicated below the
+            # 1M threshold.
+            return NamedSharding(mesh, P("model"))
         return NamedSharding(mesh, P())
 
     return jax.tree.map(spec, params)

@@ -227,6 +227,112 @@ def sharded_square_matmul(adj, x, gate, mesh, *, kind):
     return jnp.concatenate([yu, yi], axis=0).astype(x.dtype)
 
 
+# ---------------------------------------------------------------------------
+# Sharded gather (sparse COO) propagation — the over-dense-budget regime
+# (VERDICT round-1 missing item 2). The edge list is globally
+# row-sorted and padded to a 1024 multiple (data/graph.py SparseGraph),
+# so chip k takes the contiguous edge chunk [k·E/N, (k+1)·E/N): per-chip
+# adjacency reads AND storage are 1/N (the regime exists precisely
+# because the matrix exceeds one HBM). Rows may straddle chunk
+# boundaries, so each chip segment-sums into the full global row space
+# and ONE psum_scatter both reduces the boundary partials and leaves
+# the result row-sharded — the same all_gather + psum_scatter pair as
+# the dense path, with the identical activation-bytes-only payload.
+# Reference anchor: torch.sparse.mm (reference models/LightGCN.py:44).
+
+
+def can_shard_edges(nnz_padded: int, mesh) -> bool:
+    n = model_width(mesh)
+    return n > 1 and nnz_padded % n == 0
+
+
+def _node_pad(n: int, width: int) -> int:
+    # 128-multiples divide any power-of-two model axis ≤ 128 and keep
+    # the row-sharded layouts aligned with the engine's table padding
+    m = 128 if 128 % width == 0 else width
+    return -(-n // m) * m
+
+
+def _sharded_spmm_impl(mesh, n_rows_pad, rows, cols, vals, x):
+    espec = NamedSharding(mesh, P(_MODEL_AXIS))
+    rows, cols, vals = (
+        jax.lax.with_sharding_constraint(a, espec) for a in (rows, cols, vals)
+    )
+    x = jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(_MODEL_AXIS, None))
+    )
+
+    def body(r_k, c_k, v_k, x_k):
+        x_all = jax.lax.all_gather(x_k, _MODEL_AXIS, axis=0, tiled=True)
+        gathered = jnp.take(x_all, c_k, axis=0).astype(jnp.float32)
+        # global row ids stay sorted within the contiguous chunk
+        part = jax.ops.segment_sum(
+            gathered * v_k[:, None], r_k,
+            num_segments=n_rows_pad, indices_are_sorted=True,
+        )
+        return jax.lax.psum_scatter(
+            part, _MODEL_AXIS, scatter_dimension=0, tiled=True
+        )
+
+    spec_e = P(_MODEL_AXIS)
+    spec_x = P(_MODEL_AXIS, None)
+    return jax.shard_map(
+        body, mesh=mesh, in_specs=(spec_e, spec_e, spec_e, spec_x),
+        out_specs=spec_x, check_vma=False,
+    )(rows, cols, vals, x)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _sharded_spmm(mesh, dims, rows, cols, vals, t_rows, t_cols, t_vals, x):
+    """Sharded y = A @ x on padded node spaces; dims = (n_rows_pad,
+    n_cols_pad). Differentiable in x only; backward runs the SAME
+    sharded kernel on the pre-sorted transpose arrays, so the gradient
+    also reads 1/N of the edges per chip."""
+    n_rows_pad, _ = dims
+    return _sharded_spmm_impl(mesh, n_rows_pad, rows, cols, vals, x)
+
+
+def _ss_fwd(mesh, dims, rows, cols, vals, t_rows, t_cols, t_vals, x):
+    n_rows_pad, _ = dims
+    y = _sharded_spmm_impl(mesh, n_rows_pad, rows, cols, vals, x)
+    return y, (t_rows, t_cols, t_vals)
+
+
+def _ss_bwd(mesh, dims, res, g):
+    _, n_cols_pad = dims
+    t_rows, t_cols, t_vals = res
+    dx = _sharded_spmm_impl(mesh, n_cols_pad, t_rows, t_cols, t_vals, g)
+    f0 = np.zeros(t_rows.shape, dtype=jax.dtypes.float0)
+    zv = jnp.zeros(t_vals.shape, dtype=jnp.float32)
+    return (f0, f0, zv, f0, f0, zv, dx)
+
+
+_sharded_spmm.defvjp(_ss_fwd, _ss_bwd)
+
+
+def maybe_sharded_spmm(graph, x):
+    """Explicit-collective spmm when a model-axis mesh is active and
+    the padded edge count divides it; None -> caller runs single-chip.
+    Works for square and rectangular graphs (padding entries point at
+    the last row/col with val 0, harmless in the padded node space)."""
+    from idgrec_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.get_active_mesh()
+    if mesh is None or not can_shard_edges(graph.rows.shape[0], mesh):
+        return None
+    width = model_width(mesh)
+    n_rows_pad = _node_pad(graph.n_rows, width)
+    n_cols_pad = _node_pad(graph.n_cols, width)
+    x_pad = _pad_rows_to(x, n_cols_pad)
+    y = _sharded_spmm(
+        mesh, (n_rows_pad, n_cols_pad),
+        graph.rows, graph.cols, graph.vals,
+        graph.t_rows, graph.t_cols, graph.t_vals,
+        x_pad,
+    )
+    return y[: graph.n_rows].astype(x.dtype)
+
+
 def maybe_sharded_square_matmul(adj, x, gate, *, kind):
     """Route to the explicit sharded path when an active mesh with a
     model axis > 1 is bound (parallel.mesh.use_mesh) and the padded
