@@ -33,6 +33,13 @@ def parse_args(argv=None):
                         help="save checkpoints and resume from the latest one")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="write a jax.profiler trace of one epoch here")
+    parser.add_argument("--mesh", type=str, default="auto", choices=["auto", "off"],
+                        help="auto: shard over all visible chips when >1 "
+                             "(tables/adjacency row-sharded, batches "
+                             "data-parallel); off: single-device")
+    parser.add_argument("--data_parallel", type=int, default=None,
+                        help="data-axis width of the mesh (default: largest "
+                             "power-of-two <= sqrt(n_devices))")
     return parser.parse_args(argv)
 
 
@@ -86,6 +93,21 @@ def main(argv=None) -> int:
     data = Dataset.load(data_dir, name=config.str("dataset"))
     print(data.get_statistics())
 
+    # pod runs: join the global runtime (no-op single-process), then
+    # shard over every visible chip unless --mesh=off
+    from idgrec_tpu.parallel import distributed
+
+    distributed.initialize()
+    mesh = None
+    if args.mesh == "auto":
+        import jax
+
+        if len(jax.devices()) > 1:
+            from idgrec_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(data_parallel=args.data_parallel)
+            print(f"Mesh: {dict(mesh.shape)} over {len(mesh.devices.flat)} devices")
+
     seed = args.seed if args.seed_flag else None
     result = train_model(
         args.model,
@@ -95,6 +117,7 @@ def main(argv=None) -> int:
         log_dir=args.log_dir,
         checkpoint_dir=args.checkpoint_dir,
         profile_dir=args.profile_dir,
+        mesh=mesh,
     )
     print("Best epoch:", result.best.epoch,
           "Best recall:", result.best.recall, "Best NDCG:", result.best.ndcg)

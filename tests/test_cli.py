@@ -63,3 +63,35 @@ def test_cli_checkpoint_resume(dataset_dir, tmp_path, capsys):
     assert main(args) == 0
     out = capsys.readouterr().out
     assert "Best epoch:" in out
+
+
+def test_cli_mesh_auto_and_off(dataset_dir, tmp_path, capsys):
+    """--mesh auto spans the 8 virtual devices (tables row-sharded via
+    the engine); --mesh off stays single-device. Same converged metrics
+    either way."""
+    from idgrec_tpu.main import main
+
+    args = [
+        "--model=LightGCN",
+        f"--dataset_path={dataset_dir}/dataset/",
+        "--dataset=tinyds",
+        f"--log_dir={tmp_path}/log",
+        "--epochs=2",
+    ]
+    assert main(args + ["--mesh=off"]) == 0
+    out_off = capsys.readouterr().out
+    assert "Mesh:" not in out_off
+
+    assert main(args + ["--data_parallel=2"]) == 0
+    out_auto = capsys.readouterr().out
+    assert "Mesh: {'data': 2, 'model': 4}" in out_auto
+
+    import re
+
+    def best_metrics(s):
+        line = [l for l in s.splitlines() if l.startswith("Best epoch:")][-1]
+        return [float(x) for x in re.findall(r"\d+\.\d+", line)]
+
+    # mesh vs single-device differ only by collective-reduction round-off
+    np.testing.assert_allclose(best_metrics(out_off), best_metrics(out_auto),
+                               rtol=1e-3, atol=1e-4)
