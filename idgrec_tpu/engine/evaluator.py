@@ -121,6 +121,16 @@ class Evaluator:
         batch_size = config.int("test_batch_size")
         self.plan = build_eval_plan(data, batch_size, users=users)
         self._consts = model.constants()
+        if mesh is not None:
+            # mirror EpochRunner: place the adjacency row-sharded ONCE
+            # so eval sweeps don't redistribute the (multi-GB at real
+            # scale) matrix from a replicated device-0 copy every
+            # interval, and no full replica stays resident
+            from idgrec_tpu.parallel.mesh import global_put, param_shardings
+
+            self._consts = global_put(
+                self._consts, param_shardings(self._consts, mesh)
+            )
         self._sweep = jax.jit(self._sweep_impl)
 
     def _sweep_impl(self, params, state, ctx, rng, users, valid, truth, excl_rows, excl_cols, consts):

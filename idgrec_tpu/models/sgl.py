@@ -56,6 +56,18 @@ class SGL(RecModel):
         if self.aug_type not in ("ed", "rw"):
             raise ValueError(f"unknown aug_type {self.aug_type!r}")
         self.num_layers = config.int("GCN_layer")
+        # resolve 'auto' ONCE with copies=2 (main adjacency + the
+        # dropout-shared binary matrix coexist in HBM) so the main and
+        # dropout builders can never split their backend selection
+        from idgrec_tpu.ops.propagate import resolve_backend
+
+        was_auto = self.backend == "auto"
+        self.backend = resolve_backend(data, self.backend, copies=2)
+        if was_auto and self.backend == "dense" and self.compute_dtype == "int8":
+            # keep build_adjacency's auto+int8 upgrade to the fused
+            # single-sweep kernel (the dropout builders treat dense and
+            # fused identically)
+            self.backend = "fused"
         self.graph = build_adjacency(data, "sym", self.backend, compute_dtype=self.compute_dtype)
         # shared matrix state for dropout views (uploaded once)
         self._m_bin = build_dropout_shared(data, self.backend)

@@ -766,6 +766,16 @@ def _split_quant(compute_dtype: str) -> tuple[str, str]:
     return compute_dtype, "none"
 
 
+def resolve_backend(data: Dataset, backend: str, copies: int = 1) -> str:
+    """Public 'auto' resolution. Models that keep SEVERAL dense
+    matrices resident (e.g. SGL: main adjacency + the dropout-shared
+    binary matrix) must resolve ONCE with the total copy count and pass
+    the concrete backend to every builder — resolving independently per
+    builder could split the selection (main dense, dropout gather) and
+    break invariants like SGL's shared-chain batching."""
+    return _select_backend(data, backend, copies=copies)
+
+
 def _select_backend(data: Dataset, backend: str, copies: int = 1) -> str:
     """'auto' picks dense when `copies` int8 count matrices fit in the
     device-memory-derived budget (`dense_budget()`), else gather.

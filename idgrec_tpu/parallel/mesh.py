@@ -73,6 +73,11 @@ def make_mesh(
             data_parallel *= 2
         if n % data_parallel != 0:
             data_parallel = 1
+    elif data_parallel <= 0 or n % data_parallel != 0:
+        raise ValueError(
+            f"data_parallel={data_parallel} must be positive and divide "
+            f"the device count ({n})"
+        )
     model_parallel = n // data_parallel
     mesh_devices = np.asarray(devices).reshape(data_parallel, model_parallel)
     return Mesh(mesh_devices, axis_names=("data", "model"))
@@ -99,6 +104,12 @@ def global_put(tree, shardings):
         return jax.device_put(tree, shardings)
 
     def place(x, s):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            # already a global array (e.g. epoch-context leaves derived
+            # from sharded params, NCL's k-means outputs): np.asarray
+            # would raise on non-addressable shards — reshard on device
+            # via a jitted identity (XLA inserts the collectives)
+            return jax.jit(lambda a: a, out_shardings=s)(x)
         arr = np.asarray(x)
         return jax.make_array_from_callback(arr.shape, s, lambda idx: arr[idx])
 

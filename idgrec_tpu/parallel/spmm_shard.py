@@ -95,7 +95,11 @@ def _local_dual_int8(m_k, qu_k, qi_all, interpret):
         or u_loc * d * 4 <= fusedmm.MAX_YU_VMEM_BYTES
     )
     panel_ok = i_pad % fusedmm.PANEL == 0 or i_pad * d * 4 <= fusedmm.MAX_YI_VMEM_BYTES
-    if kernel_fits and panel_ok:
+    # per-shard row count must admit a power-of-two row tile ≥ 128
+    # (fusedmm.pick_row_tile) — wide model axes can leave a non-128
+    # multiple (e.g. 31744/16 = 1984), which must fall back, not assert
+    row_ok = u_loc % 128 == 0
+    if kernel_fits and panel_ok and row_ok:
         return fusedmm.fused_adj_matmul_int8(m_k, qu_k, qi_all, interpret)
     yu = jnp.matmul(m_k, qi_all, preferred_element_type=jnp.int32).astype(jnp.float32)
     yi = jax.lax.dot_general(
@@ -132,17 +136,13 @@ def _shard_dual(local_fn, mesh, m8, zu, zi):
     )(m8, zu, zi)
 
 
-def _quantize_cols(z):
-    """Per-column symmetric int8 quantization with GLOBAL column scales
-    (computed on the sharded array — GSPMD reduces the column max), so
-    sharded and single-chip quantization agree exactly."""
-    amax = jnp.max(jnp.abs(z), axis=0)
-    scale = jnp.where(amax > 0.0, amax / 127.0, 1.0).astype(jnp.float32)
-    q = jnp.round(z / scale).astype(jnp.int8)
-    return q, scale
-
-
 def _quant_dual_sharded(mesh, interpret, m8, zi, zu):
+    # the single-chip quantization scheme (ops/propagate._quantize_cols)
+    # applied to the SHARDED arrays: the column max is a global
+    # reduction under GSPMD, so sharded and single-chip scales agree
+    # exactly
+    from idgrec_tpu.ops.propagate import _quantize_cols
+
     qi, si = _quantize_cols(zi)
     qu, su = _quantize_cols(zu)
     local = partial(_local_dual_int8, interpret=interpret)
@@ -200,23 +200,34 @@ def sharded_square_matmul(adj, x, gate, mesh, *, kind):
 
     zu = _pad_rows_to(right_u[:, None] * xu.astype(jnp.float32), u_pad)
     zi = _pad_rows_to(right_i[:, None] * xi.astype(jnp.float32), i_pad)
-    m, zu, zi = _row_sharded(mesh, m, zu, zi)
 
     interpret = getattr(adj, "interpret", False)
+    width = model_width(mesh)
     if adj.quant == "int8":
+        m, zu, zi = _row_sharded(mesh, m, zu, zi)
         yu_raw, yi_raw = quant_sharded_dual(mesh, interpret, m, zi, zu)
-    elif kind == "fused":
-        if i_pad * x.shape[1] * 4 > fusedmm.MAX_YI_VMEM_BYTES:
-            # bf16 kernel's whole-yi VMEM accumulator would overflow
-            # (very wide catalog / multi-chain feature batching):
-            # per-shard XLA bf16 matmuls, same collectives
-            local = partial(_local_dual_dense, cdt=jnp.bfloat16)
-        else:
-            local = partial(_local_dual_bf16_fused, interpret=interpret)
-        yu_raw, yi_raw = _shard_dual(local, mesh, m, zu, zi)
     else:
-        cdt = jnp.dtype(adj.compute_dtype_name)
-        local = partial(_local_dual_dense, cdt=cdt)
+        if kind == "fused":
+            cdt = jnp.bfloat16
+            if (i_pad * x.shape[1] * 4 > fusedmm.MAX_YI_VMEM_BYTES
+                    or (u_pad // width) % 128 != 0):
+                # bf16 kernel's whole-yi VMEM accumulator would overflow
+                # (very wide catalog / multi-chain feature batching), or
+                # the per-shard row count admits no ≥128 power-of-two
+                # row tile: per-shard XLA bf16 matmuls, same collectives
+                local = partial(_local_dual_dense, cdt=cdt)
+            else:
+                local = partial(_local_dual_bf16_fused, interpret=interpret)
+        else:
+            cdt = jnp.dtype(adj.compute_dtype_name)
+            local = partial(_local_dual_dense, cdt=cdt)
+        # cast BEFORE the collectives: the matmul computes in cdt either
+        # way (numerically identical), and a bf16 zi halves the
+        # all_gather payload — the int8 path quantizes pre-gather for
+        # the same reason
+        zu = zu.astype(cdt)
+        zi = zi.astype(cdt)
+        m, zu, zi = _row_sharded(mesh, m, zu, zi)
         yu_raw, yi_raw = _shard_dual(local, mesh, m, zu, zi)
 
     yu = left_u[:, None] * yu_raw[:nu]

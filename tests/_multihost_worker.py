@@ -68,11 +68,25 @@ def main():
         "LightGCN", data, config=cfg, seed=3, log_dir=None, echo=False, mesh=mesh
     )
 
+    # NCL leg: its k-means epoch context is DERIVED from the sharded
+    # params (global, non-fully-addressable arrays), exercising
+    # global_put's on-device reshard branch — LightGCN's empty ctx
+    # never would
+    ncl_cfg = Config({
+        **dict(cfg.items()),
+        "ssl_lambda": "1e-6", "proto_lambda": "1e-7", "temperature": "0.05",
+        "cl_layer": "1", "alpha": "1.5", "k": "4", "warmup_epochs": "1",
+    })
+    ncl = train_model(
+        "NCL", data, config=ncl_cfg, seed=3, log_dir=None, echo=False, mesh=mesh
+    )
+
     if distributed.is_primary():
         payload = {
             "losses": [float(h["loss"].split(" = ")[0]) for h in res.history],
             "recall": np.asarray(res.best.recall, np.float64).tolist(),
             "ndcg": np.asarray(res.best.ndcg, np.float64).tolist(),
+            "ncl_losses": [float(h["loss"].split(" = ")[0]) for h in ncl.history],
             "process_count": jax.process_count(),
         }
         with open(out_path, "w") as f:

@@ -382,3 +382,30 @@ def test_dense_budget_is_memory_aware(tiny_dataset, monkeypatch):
     monkeypatch.undo()
     monkeypatch.setattr(P.jax, "devices", lambda: [])
     assert P.device_memory_bytes() == P.DEFAULT_DEVICE_BYTES
+
+
+def test_sgl_backend_never_splits_under_tight_budget(tiny_dataset, monkeypatch):
+    """Review fix: SGL resolves 'auto' ONCE with copies=2 (main + shared
+    dropout matrix), so a budget in [1x, 2x) of the matrix size sends
+    BOTH builders to gather instead of splitting (main dense, dropout
+    gather -> None shared matrix crash in shared_chain_matmul)."""
+    import numpy as np
+
+    from idgrec_tpu.config import Config
+    from idgrec_tpu.models import get_model
+    from idgrec_tpu.ops import propagate as P
+
+    pad_bytes = P._pad_up(tiny_dataset.num_users) * P._pad_up(tiny_dataset.num_items)
+    monkeypatch.setattr(P, "dense_budget", lambda: pad_bytes)  # fits 1, not 2
+    cfg = Config({
+        "dataset": "tiny", "embedding_size": "8", "batch_size": "8",
+        "learn_rate": "0.01", "reg_lambda": "0.0001", "GCN_layer": "2",
+        "ssl_lambda": "0.1", "ssl_ratio": "0.1", "aug_type": "ed",
+        "temperature": "0.2",
+    })
+    model = get_model("SGL")(cfg, tiny_dataset)
+    assert isinstance(model.graph, P.GatherSquareAdj)
+    assert model._m_bin is None and not model._batched
+    np_rng = np.random.default_rng(0)
+    ctx = model.epoch_context({}, {}, 0, np_rng)
+    assert isinstance(ctx[0][0], P.GatherSquareAdj)

@@ -304,3 +304,27 @@ def test_gather_backend_trains_on_mesh():
         a = np.asarray(r1.params[key], np.float32)
         b = np.asarray(r2.params[key], np.float32)
         assert np.abs(a - b).max() / (np.abs(a).max() + 1e-9) < 2e-3, key
+
+
+def test_local_dual_int8_falls_back_when_shard_rows_not_128():
+    """Review fix: wide model axes can leave per-shard row counts that
+    are not 128-multiples (fused rows pad to 1024, so width 16 on
+    yelp2018's 31744 gives 1984) — the local int8 dual product must
+    fall back to the XLA path instead of tripping the Pallas kernel's
+    row-tile assert. Exercised directly with a 64-row shard (the mesh
+    harness here caps at 8 devices, which cannot produce one)."""
+    rng = np.random.default_rng(0)
+    m_k = jnp.asarray(rng.integers(0, 2, (64, 512)), jnp.int8)
+    qu = jnp.asarray(rng.integers(-127, 128, (64, 16)), jnp.int8)
+    qi = jnp.asarray(rng.integers(-127, 128, (512, 16)), jnp.int8)
+    yu, yi = spmm_shard._local_dual_int8(m_k, qu, qi, interpret=True)
+    m_f = np.asarray(m_k, np.float32)
+    np.testing.assert_allclose(np.asarray(yu), m_f @ np.asarray(qi, np.float32))
+    np.testing.assert_allclose(np.asarray(yi), m_f.T @ np.asarray(qu, np.float32))
+
+
+def test_make_mesh_rejects_bad_data_parallel():
+    with pytest.raises(ValueError, match="data_parallel"):
+        make_mesh(8, data_parallel=3)
+    with pytest.raises(ValueError, match="data_parallel"):
+        make_mesh(8, data_parallel=16)
