@@ -42,8 +42,13 @@ def main() -> None:
     parser.add_argument("--emb", type=int, default=64)
     parser.add_argument("--backend", default="auto",
                         help="propagation backend: auto|dense|fused|bitpack|gather")
-    parser.add_argument("--compute-dtype", default="bfloat16",
-                        help="propagation precision: bfloat16|float32|int8 (quantized)")
+    parser.add_argument("--compute-dtype", default="int8",
+                        help="propagation precision: bfloat16|float32|int8. "
+                             "Default int8: the fastest quality-admissible mode "
+                             "(converged Recall/NDCG within noise of bf16 — "
+                             "committed evidence in docs/evidence/"
+                             "quant_parity.json + docs/SCALING.md table); "
+                             "pass bfloat16 for the exact-numerics mode.")
     args = parser.parse_args()
 
     import jax
