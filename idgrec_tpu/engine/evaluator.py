@@ -145,59 +145,21 @@ class Evaluator:
             return self._sweep_body(params, state, ctx, rng, users, valid, truth, excl_rows, excl_cols)
 
     def _topk_items_sharded(self, ratings: jnp.ndarray) -> jnp.ndarray:
-        """Distributed top-k with the item axis kept sharded.
+        """Distributed top-k with the item axis kept sharded — the
+        shared `parallel.topk.sharded_topk` merge (reference anchor:
+        `torch.topk(rating, max(topK))`, batch_test.py:68)."""
+        from idgrec_tpu.parallel.topk import sharded_topk
 
-        The [B, I] score matrix is constrained to P(None, 'model') —
-        GSPMD then shards the producing matmul so each chip holds a
-        [B, I/N] column slice and the item representation is never
-        all-gathered. Each chip takes a LOCAL top-k over its columns,
-        and one tiny all_gather of (val, idx) candidate pairs
-        ([N, B, k], k = max(topK) ≤ 40) feeds the final merge — the
-        distributed counterpart of the reference's single-GPU
-        `torch.topk(rating, max(topK))` (batch_test.py:68).
-
-        Tie semantics match replicated `lax.top_k`: candidates are
-        merged in (shard, local rank) order, so equal values resolve
-        to the lowest global item index on every path."""
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        mesh = self.mesh
-        n = mesh.shape["model"]
-        b, i = ratings.shape
-        pad = (-i) % n
-        if pad:
-            ratings = jnp.pad(
-                ratings, ((0, 0), (0, pad)), constant_values=_MASK_VALUE
-            )
-        ratings = jax.lax.with_sharding_constraint(
-            ratings, NamedSharding(mesh, P(None, "model"))
+        _, idx = sharded_topk(
+            ratings, self.mesh, self.max_k, approx=self.topk_mode == "approx"
         )
-        k = self.max_k
-        approx = self.topk_mode == "approx"
-
-        def body(r_k):
-            width = r_k.shape[1]
-            kk = min(k, width)
-            if approx and width > kk:
-                vals, idx = jax.lax.approx_max_k(r_k, kk)
-            else:
-                vals, idx = jax.lax.top_k(r_k, kk)
-            idx = idx + jax.lax.axis_index("model") * width
-            vals_all = jax.lax.all_gather(vals, "model")  # [N, B, kk]
-            idx_all = jax.lax.all_gather(idx, "model")
-            vals_c = jnp.moveaxis(vals_all, 0, 1).reshape(b, -1)
-            idx_c = jnp.moveaxis(idx_all, 0, 1).reshape(b, -1)
-            _, sel = jax.lax.top_k(vals_c, k)
-            return jnp.take_along_axis(idx_c, sel, axis=1)
-
-        return jax.shard_map(
-            body, mesh=mesh, in_specs=P(None, "model"), out_specs=P(),
-            check_vma=False,
-        )(ratings)
+        return idx
 
     @property
     def _items_sharded(self) -> bool:
-        return self.mesh is not None and self.mesh.shape.get("model", 1) > 1
+        from idgrec_tpu.parallel.topk import items_sharded
+
+        return items_sharded(self.mesh)
 
     def _sweep_body(self, params, state, ctx, rng, users, valid, truth, excl_rows, excl_cols):
         eval_repr = self.model.eval_embeddings(params, state, ctx, rng)

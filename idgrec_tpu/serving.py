@@ -42,13 +42,19 @@ class Recommender:
 
     def __init__(self, model, params, state, ctx, data: Dataset,
                  filter_seen: bool = True, rng: jax.Array | None = None,
-                 topk_mode: str = "exact"):
+                 topk_mode: str = "exact", mesh=None):
         self.model = model
         self.data = data
         self.filter_seen = filter_seen
         # 'approx' = TPU approx_max_k (~4x faster ranking sweep at 0.95
         # per-element recall target; standard for production retrieval)
         self.topk_mode = topk_mode
+        # mesh: serve with the item axis sharded over 'model' — the
+        # [B, num_items] score matrix is column-sharded and ranking
+        # runs as local top-k + a tiny candidate merge
+        # (parallel/topk.sharded_topk), so giant catalogs never
+        # materialize replicated scores
+        self.mesh = mesh
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         with model.bound_constants(model.constants()):
             self._repr = jax.jit(model.eval_embeddings)(params, state, ctx, rng)
@@ -76,12 +82,18 @@ class Recommender:
         return cls(model, result.params, result.state, (), data, **kw)
 
     def _score_impl(self, users: jnp.ndarray, excl_rows: jnp.ndarray, k: int):
+        from idgrec_tpu.parallel.topk import items_sharded, sharded_topk
+
         ratings = self.model.score_batch(self._repr, users).astype(jnp.float32)
         if self.filter_seen:
             b = users.shape[0]
             row_ids = jnp.repeat(jnp.arange(b), excl_rows.shape[1])
             ratings = ratings.at[row_ids, excl_rows.reshape(-1)].set(
                 _MASK_VALUE, mode="drop"
+            )
+        if items_sharded(self.mesh):
+            return sharded_topk(
+                ratings, self.mesh, k, approx=self.topk_mode == "approx"
             )
         if self.topk_mode == "approx":
             return jax.lax.approx_max_k(ratings, k)

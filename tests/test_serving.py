@@ -67,3 +67,20 @@ def test_recommend_approx_topk(trained):
     assert items.shape == (2, 5) and scores.shape == (2, 5)
     import numpy as np
     assert np.all(items >= 0) and np.all(items < data.num_items)
+
+
+def test_recommender_mesh_matches_single_device(trained):
+    """Serving with the item axis sharded (parallel/topk.sharded_topk):
+    identical recommendations to the single-device path."""
+    from idgrec_tpu.parallel.mesh import make_mesh
+
+    data, cfg, result = trained
+    rec1 = Recommender.from_train_result("LightGCN", data, cfg, result)
+    rec2 = Recommender.from_train_result(
+        "LightGCN", data, cfg, result, mesh=make_mesh(8, data_parallel=2)
+    )
+    users = [0, 3, 7, 11]
+    items1, scores1 = rec1.recommend(users, k=5)
+    items2, scores2 = rec2.recommend(users, k=5)
+    np.testing.assert_array_equal(items1, items2)
+    np.testing.assert_allclose(scores1, scores2, rtol=1e-5, atol=1e-6)
