@@ -42,6 +42,9 @@ def main() -> None:
     parser.add_argument("--emb", type=int, default=64)
     parser.add_argument("--backend", default="auto",
                         help="propagation backend: auto|dense|fused|bitpack|gather")
+    parser.add_argument("--platform", default=None,
+                        help="force a jax platform (e.g. 'cpu' for smoke runs; "
+                             "the axon sitecustomize pins the TPU otherwise)")
     parser.add_argument("--compute-dtype", default="int8",
                         help="propagation precision: bfloat16|float32|int8. "
                              "Default int8: the fastest quality-admissible mode "
@@ -52,6 +55,16 @@ def main() -> None:
     args = parser.parse_args()
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+        try:
+            from jax.extend.backend import clear_backends
+
+            clear_backends()
+        except Exception:
+            pass
+
     import jax.numpy as jnp
 
     from idgrec_tpu.compile_cache import enable as _enable_cache
