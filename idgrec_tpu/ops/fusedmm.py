@@ -333,6 +333,218 @@ def fused_adj_matmul_int8(m8: jnp.ndarray, qu: jnp.ndarray, qi: jnp.ndarray,
     return yu, yi3.reshape(i_pad, d)
 
 
+# ---------------------------------------------------------------------------
+# int4 nibble-packed variant: the adjacency step is HBM-bound on the
+# matrix read (docs/SCALING.md), and interaction counts are tiny
+# (binary for every benchmark dataset), so storing two 4-bit counts
+# per byte HALVES the binding resource again vs int8. XLA-level s4
+# arrays are rejected by the axon PJRT plugin, so the packing lives
+# inside the Pallas kernel: each [tu, TI] logical tile is stored as
+# [tu, TI/2] bytes whose low nibble is the tile's FIRST TI/2 columns
+# and high nibble the LAST TI/2 (no interleave -> unpack is two cheap
+# VPU mask/shift ops and the MXU runs two half-width int8 dots per
+# direction, same total MACs). Counts must fit an unsigned nibble
+# (<= 15; callers enforce <= 7 for headroom).
+
+NIBBLE_MAX = 7
+
+
+def pack_nibbles(m8_padded: np.ndarray) -> np.ndarray:
+    """int8 [U_pad, I_pad] (values 0..NIBBLE_MAX, I_pad % TI == 0) ->
+    packed int8 [U_pad, I_pad // 2] in the per-TI-tile lo/hi layout."""
+    u, i = m8_padded.shape
+    assert i % TI == 0, f"I_pad={i} not a TI multiple"
+    assert m8_padded.min() >= 0 and m8_padded.max() <= NIBBLE_MAX
+    t = m8_padded.reshape(u, i // TI, 2, TI // 2).astype(np.uint8)
+    return (t[:, :, 0, :] | (t[:, :, 1, :] << 4)).astype(np.int8).reshape(u, i // 2)
+
+
+def _unpack(raw):
+    """packed [tu, w] int8 -> (lo, hi) [tu, w] int8 in 0..15."""
+    lo = raw & 0xF
+    hi = (raw >> 4) & 0xF
+    return lo, hi
+
+
+def unpack_nibbles(m4: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of pack_nibbles as a traced op (XLA fallback paths):
+    packed int8 [U, I_pad//2] -> int8 [U, I_pad]."""
+    u = m4.shape[0]
+    t = m4.reshape(u, -1, TI // 2)
+    lo, hi = _unpack(t)
+    return jnp.concatenate([lo, hi], axis=-1).reshape(u, 2 * m4.shape[1])
+
+
+def _fused_kernel_int4_small(m_ref, qi_ref, qu_ref, yu_ref, yi_ref, yi_acc, sem):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    ni = pl.num_programs(0)
+    nj = pl.num_programs(1)
+    ti, d = qi_ref.shape
+    half = ti // 2
+
+    @pl.when(j == 0)
+    def _():
+        yu_ref[...] = jnp.zeros_like(yu_ref)
+
+    @pl.when(i == 0)
+    def _():
+        yi_acc[pl.ds(j * ti, ti), :] = jnp.zeros((ti, d), jnp.float32)
+
+    lo, hi = _unpack(m_ref[...])  # [tu, TI/2] each
+    q = qi_ref[...]
+    yu_ref[...] += (
+        jnp.dot(lo, q[:half], preferred_element_type=jnp.int32)
+        + jnp.dot(hi, q[half:], preferred_element_type=jnp.int32)
+    ).astype(jnp.float32)
+    qu = qu_ref[...]
+    yi_acc[pl.ds(j * ti, half), :] += jax.lax.dot_general(
+        lo, qu, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    yi_acc[pl.ds(j * ti + half, half), :] += jax.lax.dot_general(
+        hi, qu, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+
+    @pl.when((i == ni - 1) & (j == nj - 1))
+    def _():
+        copy = pltpu.make_async_copy(yi_acc, yi_ref, sem)
+        copy.start()
+        copy.wait()
+
+
+def _fused_int4_small_call(m4, qu, qi, interpret, tu: int):
+    u_pad = m4.shape[0]
+    i_pad = 2 * m4.shape[1]
+    d = qi.shape[1]
+    grid = (u_pad // tu, i_pad // TI)
+    return pl.pallas_call(
+        _fused_kernel_int4_small,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tu, TI // 2), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TI, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tu, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tu, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((u_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((i_pad, d), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((i_pad, d), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=i_pad * d * 4 + 16 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * u_pad * i_pad * d,
+            bytes_accessed=u_pad * i_pad // 2 + (u_pad + i_pad) * d * 5,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(m4, qi, qu)
+
+
+def _fused_kernel_int4(m_ref, qi_ref, qu_ref, yu_ref, yi_ref, yu_acc, sem_u):
+    p = pl.program_id(0)
+    u = pl.program_id(1)
+    j = pl.program_id(2)
+    np_ = pl.num_programs(0)
+    nu = pl.num_programs(1)
+    nj = pl.num_programs(2)
+    ti, d = qi_ref.shape
+    half = ti // 2
+    tu = qu_ref.shape[0]
+
+    @pl.when((p == 0) & (j == 0))
+    def _():
+        yu_acc[pl.ds(u * tu, tu), :] = jnp.zeros((tu, d), jnp.float32)
+
+    @pl.when((u == 0) & (j == 0))
+    def _():
+        yi_ref[...] = jnp.zeros_like(yi_ref)
+
+    lo, hi = _unpack(m_ref[...])
+    q = qi_ref[...]
+    yu_acc[pl.ds(u * tu, tu), :] += (
+        jnp.dot(lo, q[:half], preferred_element_type=jnp.int32)
+        + jnp.dot(hi, q[half:], preferred_element_type=jnp.int32)
+    ).astype(jnp.float32)
+    qu = qu_ref[...]
+    yi_ref[0, pl.ds(j * ti, half), :] += jax.lax.dot_general(
+        lo, qu, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    yi_ref[0, pl.ds(j * ti + half, half), :] += jax.lax.dot_general(
+        hi, qu, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+
+    @pl.when((p == np_ - 1) & (u == nu - 1) & (j == nj - 1))
+    def _():
+        copy = pltpu.make_async_copy(yu_acc, yu_ref, sem_u)
+        copy.start()
+        copy.wait()
+
+
+def fused_adj_matmul_int4(m4: jnp.ndarray, qu: jnp.ndarray, qi: jnp.ndarray,
+                          interpret: bool = False):
+    """(M @ qi, Mᵀ @ qu) for NIBBLE-PACKED M (pack_nibbles layout) and
+    pre-quantized int8 activations — the int8 kernels' dispatch with
+    half the adjacency HBM bytes. m4 int8 [U_pad, I_pad//2];
+    qu int8 [U_pad, d]; qi int8 [I_pad, d]. Returns f32 raw products."""
+    u_pad = m4.shape[0]
+    i_pad = 2 * m4.shape[1]
+    d = qi.shape[1]
+    tu = pick_row_tile(u_pad)
+    assert tu is not None, f"u_pad={u_pad} not a 128-multiple"
+    if i_pad * d * 4 <= MAX_YI_VMEM_BYTES:
+        return _fused_int4_small_call(m4, qu, qi, interpret, tu)
+    grid = (i_pad // PANEL, u_pad // tu, PANEL // TI)
+    yu, yi3 = pl.pallas_call(
+        _fused_kernel_int4,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tu, TI // 2), lambda p, u, j: (u, p * (PANEL // TI) + j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TI, d), lambda p, u, j: (p * (PANEL // TI) + j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tu, d), lambda p, u, j: (u, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, PANEL, d), lambda p, u, j: (p, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((u_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((i_pad // PANEL, PANEL, d), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((u_pad, d), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=(u_pad * d + 2 * PANEL * d) * 4 + 22 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * u_pad * i_pad * d,
+            bytes_accessed=u_pad * i_pad // 2 + (u_pad + i_pad) * d * 5,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(m4, qi, qu)
+    return yu, yi3.reshape(i_pad, d)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(3,))
 def fused_adj_matmul(m8, zu, zi, interpret=False):
     """(M @ zi, Mᵀ @ zu) for int8 M padded with `pad_matrix`.

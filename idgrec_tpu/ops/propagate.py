@@ -214,6 +214,35 @@ def _qfd_impl(m8, zi, zu, interpret):
     return yu * si, yi * su
 
 
+def _qfd4_impl(m4, zi, zu, interpret):
+    qi, si = _quantize_cols(zi)
+    qu, su = _quantize_cols(zu)
+    yu, yi = fusedmm.fused_adj_matmul_int4(m4, qu, qi, interpret)
+    return yu * si, yi * su
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def quant_fused_dual4(m4, zi, zu, interpret=False):
+    """int4 twin of quant_fused_dual: M stored nibble-packed
+    (fusedmm.pack_nibbles), halving the HBM-bound adjacency read.
+    Same per-column int8 activation quantization, same
+    straight-through fully-quantized backward."""
+    return _qfd4_impl(m4, zi, zu, interpret)
+
+
+def _qfd4_fwd(m4, zi, zu, interpret):
+    return _qfd4_impl(m4, zi, zu, interpret), m4
+
+
+def _qfd4_bwd(interpret, m4, g):
+    g_yu, g_yi = g
+    dzu, dzi = _qfd4_impl(m4, g_yi, g_yu, interpret)
+    return np.zeros(m4.shape, dtype=jax.dtypes.float0), dzi, dzu
+
+
+quant_fused_dual4.defvjp(_qfd4_fwd, _qfd4_bwd)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(3,))
 def quant_fused_dual(m8, zi, zu, interpret=False):
     """(M @ q8(zi), Mᵀ @ q8(zu)) via the single-sweep int8 Pallas
@@ -672,6 +701,13 @@ class FusedSquareAdj:
         n = self.num_users + self.num_items
         return (n, n)
 
+    @property
+    def padded_shape(self) -> tuple[int, int]:
+        """Logical padded [U_pad, I_pad] — for int4 the stored matrix
+        is nibble-packed at half the column width."""
+        u_pad, cols = self.m8.shape
+        return (u_pad, 2 * cols if self.quant == "int4" else cols)
+
     def matmul(self, x: jnp.ndarray, gate: jnp.ndarray | None = None) -> jnp.ndarray:
         from idgrec_tpu.parallel import spmm_shard
 
@@ -687,8 +723,8 @@ class FusedSquareAdj:
             left_u, left_i = left_u * gu, left_i * gi
         zu = right_u[:, None] * xu.astype(jnp.float32)
         zi = right_i[:, None] * xi.astype(jnp.float32)
-        if self.quant == "int8":
-            u_pad, i_pad = self.m8.shape
+        if self.quant in ("int8", "int4"):
+            u_pad, i_pad = self.padded_shape
             zu_p = _pad_rows(zu, u_pad)
             zi_p = _pad_rows(zi, i_pad)
             d = x.shape[1]
@@ -696,10 +732,14 @@ class FusedSquareAdj:
                 i_pad * d * 4 <= fusedmm.MAX_YI_VMEM_BYTES  # single-panel
                 or u_pad * d * 4 <= fusedmm.MAX_YU_VMEM_BYTES  # panelized
             )
-            if kernel_fits:
+            if kernel_fits and self.quant == "int4":
+                yu, yi = quant_fused_dual4(self.m8, zi_p, zu_p, self.interpret)
+            elif kernel_fits:
                 yu, yi = quant_fused_dual(self.m8, zi_p, zu_p, self.interpret)
             else:  # both accumulators over VMEM budget: XLA int8 matmuls
-                yu, yi = quant_dual_matmul(self.m8, zi_p, zu_p)
+                m8 = (fusedmm.unpack_nibbles(self.m8)
+                      if self.quant == "int4" else self.m8)
+                yu, yi = quant_dual_matmul(m8, zi_p, zu_p)
             yu, yi = yu[: self.num_users], yi[: self.num_items]
         elif self.m8.shape[1] * x.shape[1] * 4 > fusedmm.MAX_YI_VMEM_BYTES:
             # bf16 kernel's yi scratch would overflow VMEM (wide x from
@@ -760,9 +800,12 @@ def _is_binary(data: Dataset) -> bool:
 
 
 def _split_quant(compute_dtype: str) -> tuple[str, str]:
-    """('int8' policy) -> (matmul dtype for non-quant paths, quant mode)."""
-    if compute_dtype == "int8":
-        return "bfloat16", "int8"
+    """('int8'/'int4' policy) -> (matmul dtype for non-quant paths,
+    quant mode). int4 = the int8 activation quantization with the
+    MATRIX nibble-packed (fusedmm.pack_nibbles) — identical numerics
+    to int8 (counts are exact in 4 bits), half the adjacency HBM."""
+    if compute_dtype in ("int8", "int4"):
+        return "bfloat16", compute_dtype
     return compute_dtype, "none"
 
 
@@ -839,9 +882,12 @@ def build_adjacency(
             # runs the same kernel per row shard with all_gather +
             # psum_scatter, so 'fused' no longer regresses multi-chip.
             backend = "fused"
+        if quant == "int4" and backend == "dense":
+            # the nibble-packed matrix only has fused kernels
+            backend = "fused"
         if backend not in ("dense", "fused"):
             raise ValueError(
-                "compute_dtype = int8 requires the dense or fused backend"
+                f"compute_dtype = {quant} requires the dense or fused backend"
             )
     if backend == "gather":
         if variant == "sym":
@@ -883,9 +929,16 @@ def build_adjacency(
                             nu, ni, has_diag, _bitpack_interpret())
     if backend == "fused":
         item_mult = fusedmm.PANEL if quant != "none" else fusedmm.TI
-        m8 = device_put_chunked(
-            fusedmm.pad_matrix(_count_matrix_int8(data), item_mult)
-        )
+        m_np = fusedmm.pad_matrix(_count_matrix_int8(data), item_mult)
+        if quant == "int4":
+            if int(m_np.max(initial=0)) > fusedmm.NIBBLE_MAX:
+                raise ValueError(
+                    "compute_dtype = int4 requires interaction counts "
+                    f"<= {fusedmm.NIBBLE_MAX} (got {int(m_np.max())}); "
+                    "use int8"
+                )
+            m_np = fusedmm.pack_nibbles(m_np)
+        m8 = device_put_chunked(m_np)
         return FusedSquareAdj(m8, lu, li, ru, ri, diag_u, diag_i,
                               nu, ni, has_diag, _bitpack_interpret(), quant)
     m_np = _count_matrix_int8(data)
@@ -905,6 +958,10 @@ def build_rect_adjacency(
 ):
     """Rectangular R̃ = Du^-1/2 · R · Di^-1/2 ops (data_graph.py:58)."""
     compute_dtype, quant = _split_quant(compute_dtype)
+    # rectangular adjacencies have no packed kernel; int4 runs the
+    # int8 quantized path (identical numerics — nibble packing is a
+    # storage optimization, not a precision change)
+    quant = "int8" if quant == "int4" else quant
     backend = _select_backend(data, backend)
     if quant != "none" and backend != "dense":
         raise ValueError("compute_dtype = int8 requires the dense backend")

@@ -110,6 +110,31 @@ def _local_dual_int8(m_k, qu_k, qi_all, interpret):
     return yu, yi
 
 
+def _local_dual_int4(m_k, qu_k, qi_all, interpret):
+    """int4 twin of _local_dual_int8: m_k is the NIBBLE-PACKED row
+    shard (fusedmm.pack_nibbles layout) — per-chip adjacency reads are
+    1/(2N) of the int8 full-matrix bytes."""
+    u_loc = m_k.shape[0]
+    i_pad = 2 * m_k.shape[1]
+    d = qi_all.shape[1]
+    kernel_fits = (
+        i_pad * d * 4 <= fusedmm.MAX_YI_VMEM_BYTES
+        or u_loc * d * 4 <= fusedmm.MAX_YU_VMEM_BYTES
+    )
+    panel_ok = i_pad % fusedmm.PANEL == 0 or i_pad * d * 4 <= fusedmm.MAX_YI_VMEM_BYTES
+    row_ok = u_loc % 128 == 0
+    if kernel_fits and panel_ok and row_ok:
+        return fusedmm.fused_adj_matmul_int4(m_k, qu_k, qi_all, interpret)
+    m8 = fusedmm.unpack_nibbles(m_k)
+    yu = jnp.matmul(m8, qi_all, preferred_element_type=jnp.int32).astype(jnp.float32)
+    yi = jax.lax.dot_general(
+        m8, qu_k,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    return yu, yi
+
+
 # ---------------------------------------------------------------------------
 # Sharded dual application (fwd structure shared by every flavor)
 
@@ -136,7 +161,7 @@ def _shard_dual(local_fn, mesh, m8, zu, zi):
     )(m8, zu, zi)
 
 
-def _quant_dual_sharded(mesh, interpret, m8, zi, zu):
+def _quant_dual_sharded(mesh, interpret, bits, m8, zi, zu):
     # the single-chip quantization scheme (ops/propagate._quantize_cols)
     # applied to the SHARDED arrays: the column max is a global
     # reduction under GSPMD, so sharded and single-chip scales agree
@@ -145,26 +170,29 @@ def _quant_dual_sharded(mesh, interpret, m8, zi, zu):
 
     qi, si = _quantize_cols(zi)
     qu, su = _quantize_cols(zu)
-    local = partial(_local_dual_int8, interpret=interpret)
+    local_fn = _local_dual_int4 if bits == "int4" else _local_dual_int8
+    local = partial(local_fn, interpret=interpret)
     yu, yi = _shard_dual(lambda m, a, b: local(m, a, b), mesh, m8, qu, qi)
     return yu * si, yi * su
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def quant_sharded_dual(mesh, interpret, m8, zi, zu):
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def quant_sharded_dual(mesh, interpret, bits, m8, zi, zu):
     """(M @ q8(zi), Mᵀ @ q8(zu)) over the mesh — int8 MXU per shard,
     straight-through quantized backward (sharded counterpart of
-    ops/propagate.quant_fused_dual)."""
-    return _quant_dual_sharded(mesh, interpret, m8, zi, zu)
+    ops/propagate.quant_fused_dual). bits: 'int8' (m8 = full int8
+    matrix shard) or 'int4' (m8 = nibble-packed, half the per-chip
+    adjacency bytes)."""
+    return _quant_dual_sharded(mesh, interpret, bits, m8, zi, zu)
 
 
-def _qsd_fwd(mesh, interpret, m8, zi, zu):
-    return _quant_dual_sharded(mesh, interpret, m8, zi, zu), m8
+def _qsd_fwd(mesh, interpret, bits, m8, zi, zu):
+    return _quant_dual_sharded(mesh, interpret, bits, m8, zi, zu), m8
 
 
-def _qsd_bwd(mesh, interpret, m8, g):
+def _qsd_bwd(mesh, interpret, bits, m8, g):
     g_yu, g_yi = g
-    dzu, dzi = _quant_dual_sharded(mesh, interpret, m8, g_yi, g_yu)
+    dzu, dzi = _quant_dual_sharded(mesh, interpret, bits, m8, g_yi, g_yu)
     dm = np.zeros(m8.shape, dtype=jax.dtypes.float0)
     return dm, dzi, dzu
 
@@ -187,8 +215,12 @@ def sharded_square_matmul(adj, x, gate, mesh, *, kind):
     — same scale/diag semantics as their single-chip `matmul`, same
     result to f32 round-off (pinned by tests/test_spmm_shard.py).
     """
-    m = adj.m8 if kind == "fused" else adj.m
-    u_pad, i_pad = m.shape
+    if kind == "fused":
+        m = adj.m8
+        u_pad, i_pad = adj.padded_shape  # int4 stores half-width packed
+    else:
+        m = adj.m
+        u_pad, i_pad = m.shape
     nu, ni = adj.num_users, adj.num_items
     xu, xi = x[:nu], x[nu:]
     right_u, right_i = adj.right_u, adj.right_i
@@ -203,9 +235,9 @@ def sharded_square_matmul(adj, x, gate, mesh, *, kind):
 
     interpret = getattr(adj, "interpret", False)
     width = model_width(mesh)
-    if adj.quant == "int8":
+    if adj.quant in ("int8", "int4"):
         m, zu, zi = _row_sharded(mesh, m, zu, zi)
-        yu_raw, yi_raw = quant_sharded_dual(mesh, interpret, m, zi, zu)
+        yu_raw, yi_raw = quant_sharded_dual(mesh, interpret, adj.quant, m, zi, zu)
     else:
         if kind == "fused":
             cdt = jnp.bfloat16
@@ -353,7 +385,10 @@ def maybe_sharded_square_matmul(adj, x, gate, *, kind):
     mesh = mesh_lib.get_active_mesh()
     if mesh is None:
         return None
-    m = adj.m8 if kind == "fused" else adj.m
-    if not can_shard(m.shape[0], m.shape[1], mesh):
+    if kind == "fused":
+        u_pad, i_pad = adj.padded_shape
+    else:
+        u_pad, i_pad = adj.m.shape
+    if not can_shard(u_pad, i_pad, mesh):
         return None
     return sharded_square_matmul(adj, x, gate, mesh, kind=kind)

@@ -409,3 +409,88 @@ def test_sgl_backend_never_splits_under_tight_budget(tiny_dataset, monkeypatch):
     np_rng = np.random.default_rng(0)
     ctx = model.epoch_context({}, {}, 0, np_rng)
     assert isinstance(ctx[0][0], P.GatherSquareAdj)
+
+
+# ---------------------------------------------------------------------------
+# int4 nibble-packed propagation (compute_dtype = "int4", opt-in):
+# identical numerics to int8 (counts are exact in 4 bits), half the
+# adjacency HBM bytes.
+
+
+def test_pack_nibbles_roundtrip():
+    from idgrec_tpu.ops import fusedmm
+
+    rng = np.random.default_rng(0)
+    m = rng.integers(0, fusedmm.NIBBLE_MAX + 1,
+                     size=(256, 2 * fusedmm.TI)).astype(np.int8)
+    packed = fusedmm.pack_nibbles(m)
+    assert packed.shape == (256, fusedmm.TI)
+    back = np.asarray(fusedmm.unpack_nibbles(jnp.asarray(packed)))
+    np.testing.assert_array_equal(back, m)
+
+
+def test_int4_kernel_matches_int8_kernel():
+    from idgrec_tpu.ops import fusedmm
+
+    rng = np.random.default_rng(1)
+    U, I = 256, 2 * fusedmm.TI
+    m8 = rng.integers(0, 2, size=(U, I)).astype(np.int8)
+    qu = jnp.asarray(rng.integers(-10, 11, size=(U, 8), dtype=np.int8))
+    qi = jnp.asarray(rng.integers(-10, 11, size=(I, 8), dtype=np.int8))
+    yu8, yi8 = fusedmm.fused_adj_matmul_int8(jnp.asarray(m8), qu, qi, interpret=True)
+    m4 = jnp.asarray(fusedmm.pack_nibbles(m8))
+    yu4, yi4 = fusedmm.fused_adj_matmul_int4(m4, qu, qi, interpret=True)
+    np.testing.assert_array_equal(np.asarray(yu4), np.asarray(yu8))
+    np.testing.assert_array_equal(np.asarray(yi4), np.asarray(yi8))
+
+
+def test_panelized_int4_kernel_matches(monkeypatch):
+    """Force the panelized fused-int4 branch (big-graph path) in
+    interpret mode against plain int8 matmuls of the unpacked matrix."""
+    from idgrec_tpu.ops import fusedmm
+
+    monkeypatch.setattr(fusedmm, "MAX_YI_VMEM_BYTES", 1)  # small kernel off
+    rng = np.random.default_rng(2)
+    U, I = fusedmm.TU, fusedmm.PANEL * 2
+    m8 = rng.integers(0, 2, size=(U, I)).astype(np.int8)
+    qu = jnp.asarray(rng.integers(-10, 11, size=(U, 8), dtype=np.int8))
+    qi = jnp.asarray(rng.integers(-10, 11, size=(I, 8), dtype=np.int8))
+    m4 = jnp.asarray(fusedmm.pack_nibbles(m8))
+    yu, yi = fusedmm.fused_adj_matmul_int4(m4, qu, qi, interpret=True)
+    m8j = jnp.asarray(m8)
+    ryu = jnp.matmul(m8j, qi, preferred_element_type=jnp.int32).astype(jnp.float32)
+    ryi = jnp.matmul(m8j.T, qu, preferred_element_type=jnp.int32).astype(jnp.float32)
+    np.testing.assert_array_equal(np.asarray(yu), np.asarray(ryu))
+    np.testing.assert_array_equal(np.asarray(yi), np.asarray(ryi))
+
+
+def test_int4_adjacency_matches_int8_exactly(tiny_dataset, rng):
+    """compute_dtype int4 == int8 bit-for-bit (packing is storage, not
+    precision) and stays within the quantization band of exact f32."""
+    q8 = build_adjacency(tiny_dataset, "sym", "auto", compute_dtype="int8")
+    q4 = build_adjacency(tiny_dataset, "sym", "auto", compute_dtype="int4")
+    assert q4.quant == "int4"
+    assert q4.m8.shape[1] * 2 == q4.padded_shape[1]
+    x = _x(tiny_dataset, rng)
+    y8, y4 = np.asarray(q8.matmul(x)), np.asarray(q4.matmul(x))
+    np.testing.assert_array_equal(y4, y8)
+    exact = build_adjacency(tiny_dataset, "sym", "dense", compute_dtype="float32")
+    ye = np.asarray(exact.matmul(x))
+    assert np.linalg.norm(ye - y4) / np.linalg.norm(ye) < 0.02
+
+    g8 = np.asarray(jax.grad(lambda z: jnp.sum(q8.matmul(z) ** 2))(x))
+    g4 = np.asarray(jax.grad(lambda z: jnp.sum(q4.matmul(z) ** 2))(x))
+    np.testing.assert_array_equal(g4, g8)
+
+
+def test_int4_rejects_wide_counts(tiny_dataset, monkeypatch):
+    from idgrec_tpu.ops import propagate as P
+
+    wide = np.zeros((P._pad_up(tiny_dataset.num_users),
+                     P._pad_up(tiny_dataset.num_items)), np.int8)
+    wide[0, 0] = 100  # count too large for a nibble
+    monkeypatch.setattr(P, "_count_matrix_int8",
+                        lambda data: wide[: P._pad_up(data.num_users),
+                                          : P._pad_up(data.num_items)])
+    with pytest.raises(ValueError, match="int4"):
+        build_adjacency(tiny_dataset, "sym", "fused", compute_dtype="int4")

@@ -48,6 +48,7 @@ def _apply(adj, x, mesh):
     ("dense", "float32"),
     ("fused", "bfloat16"),
     ("fused", "int8"),
+    ("fused", "int4"),
 ])
 def test_sharded_matmul_matches_single_device(backend, cdt):
     adj = build_adjacency(DATA, "sym", backend, compute_dtype=cdt)
