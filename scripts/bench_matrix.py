@@ -26,6 +26,8 @@ MODES = [
     {"name": "bf16_dense", "args": ["--backend", "dense", "--compute-dtype", "bfloat16"]},
     {"name": "bf16_fused", "args": ["--backend", "fused", "--compute-dtype", "bfloat16"]},
     {"name": "int8_fused", "args": ["--backend", "auto", "--compute-dtype", "int8"]},
+    # nibble-packed matrix: half the int8 HBM bytes, bit-identical math
+    {"name": "int4_fused", "args": ["--backend", "auto", "--compute-dtype", "int4"]},
 ]
 
 
