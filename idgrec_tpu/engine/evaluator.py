@@ -103,7 +103,8 @@ class Evaluator:
     """Jitted full-catalog evaluator for one model/dataset pair."""
 
     def __init__(self, model: RecModel, data: Dataset, config: Config,
-                 users: list[int] | None = None, mesh=None, pad_meta=None):
+                 users: list[int] | None = None, mesh=None, pad_meta=None,
+                 consts=None):
         self.model = model
         self.mesh = mesh
         # (params_meta, state_meta) when the engine stores row-padded
@@ -120,17 +121,23 @@ class Evaluator:
         self.topk_mode = config.str("eval_topk", "exact")
         batch_size = config.int("test_batch_size")
         self.plan = build_eval_plan(data, batch_size, users=users)
-        self._consts = model.constants()
-        if mesh is not None:
-            # mirror EpochRunner: place the adjacency row-sharded ONCE
-            # so eval sweeps don't redistribute the (multi-GB at real
-            # scale) matrix from a replicated device-0 copy every
-            # interval, and no full replica stays resident
-            from idgrec_tpu.parallel.mesh import global_put, param_shardings
+        # consts: pass the trainer's already-placed constants to avoid
+        # a second sharded copy of the (multi-GB at real scale)
+        # adjacency per chip; when absent, place our own
+        if consts is not None:
+            self._consts = consts
+        else:
+            self._consts = model.constants()
+            if mesh is not None:
+                # place the adjacency row-sharded ONCE so eval sweeps
+                # don't redistribute the matrix from a replicated
+                # device-0 copy every interval, and no full replica
+                # stays resident
+                from idgrec_tpu.parallel.mesh import global_put, param_shardings
 
-            self._consts = global_put(
-                self._consts, param_shardings(self._consts, mesh)
-            )
+                self._consts = global_put(
+                    self._consts, param_shardings(self._consts, mesh)
+                )
         self._sweep = jax.jit(self._sweep_impl)
 
     def _sweep_impl(self, params, state, ctx, rng, users, valid, truth, excl_rows, excl_cols, consts):

@@ -107,13 +107,13 @@ def train_model(
             logger.info(line)
         evaluators = [
             Evaluator(model, data, config, users=grp, mesh=mesh,
-                      pad_meta=runner.pad_meta)
+                      pad_meta=runner.pad_meta, consts=runner._consts)
             for grp in split_uids if grp
         ]
         evaluator = evaluators[0]
     else:
         evaluator = Evaluator(model, data, config, mesh=mesh,
-                              pad_meta=runner.pad_meta)
+                              pad_meta=runner.pad_meta, consts=runner._consts)
     best = BestResults(patience=config.int("early_stopping"))
 
     epochs = max_epochs if max_epochs is not None else config.int("training_epochs")
