@@ -57,18 +57,26 @@ class RecDCL(RecModel):
         self.graph = build_adjacency(data, "sym", self.backend, compute_dtype=self.compute_dtype)
 
     def init_params(self, rng):
-        k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
+        k1, k2, k3, k4, k5, k6 = jax.random.split(rng, 6)
         d = self.embedding_size
-        proj_w1, _ = torch_linear_init(k3, d, d)  # bias=False (RecDCL.py:54)
+        # projector = Linear-BN-ReLU, Linear-BN-ReLU, Linear — the
+        # reference builds TWO hidden blocks before the output layer
+        # (RecDCL.py:51-58: sizes [e,e,e,e] -> len(sizes)-2 = 2 blocks),
+        # all linears bias-free, hidden BNs affine
+        proj_w1, _ = torch_linear_init(k3, d, d)
         proj_w2, _ = torch_linear_init(k4, d, d)
+        proj_w3, _ = torch_linear_init(k6, d, d)
         pred_w, pred_b = torch_linear_init(k5, d, d)
         return {
             "user_emb": xavier_uniform(k1, (self.num_users, d)),
             "item_emb": xavier_uniform(k2, (self.num_items, d)),
             "proj_w1": proj_w1,
-            "proj_bn_gamma": jnp.ones((d,), jnp.float32),
-            "proj_bn_beta": jnp.zeros((d,), jnp.float32),
+            "proj_bn1_gamma": jnp.ones((d,), jnp.float32),
+            "proj_bn1_beta": jnp.zeros((d,), jnp.float32),
             "proj_w2": proj_w2,
+            "proj_bn2_gamma": jnp.ones((d,), jnp.float32),
+            "proj_bn2_beta": jnp.zeros((d,), jnp.float32),
+            "proj_w3": proj_w3,
             "pred_w": pred_w,
             "pred_b": pred_b,
         }
@@ -83,9 +91,12 @@ class RecDCL(RecModel):
 
     def _projector(self, params, x):
         h = _f32(x) @ params["proj_w1"]
-        h = batch_norm(h, params["proj_bn_gamma"], params["proj_bn_beta"])
+        h = batch_norm(h, params["proj_bn1_gamma"], params["proj_bn1_beta"])
         h = jax.nn.relu(h)
-        return h @ params["proj_w2"]
+        h = h @ params["proj_w2"]
+        h = batch_norm(h, params["proj_bn2_gamma"], params["proj_bn2_beta"])
+        h = jax.nn.relu(h)
+        return h @ params["proj_w3"]
 
     def _bt(self, params, x, y):
         d = self.embedding_size

