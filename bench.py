@@ -45,12 +45,15 @@ def main() -> None:
     parser.add_argument("--platform", default=None,
                         help="force a jax platform (e.g. 'cpu' for smoke runs; "
                              "the axon sitecustomize pins the TPU otherwise)")
-    parser.add_argument("--compute-dtype", default="int8",
-                        help="propagation precision: bfloat16|float32|int8. "
-                             "Default int8: the fastest quality-admissible mode "
-                             "(converged Recall/NDCG within noise of bf16 — "
-                             "committed evidence in docs/evidence/"
-                             "quant_parity.json + docs/SCALING.md table); "
+    parser.add_argument("--compute-dtype", default="best",
+                        help="propagation precision: best|bfloat16|float32|int8|int4. "
+                             "Default 'best' autotunes between the quantized "
+                             "modes int8 and int4 (one trial epoch each) and "
+                             "records the faster — both are quality-admissible: "
+                             "int4 is a bit-identical nibble-unpack of the int8 "
+                             "math, and int8's converged Recall/NDCG matches "
+                             "bf16 within noise (committed evidence in docs/"
+                             "evidence/quant_parity.json + docs/SCALING.md); "
                              "pass bfloat16 for the exact-numerics mode.")
     args = parser.parse_args()
 
@@ -94,43 +97,89 @@ def main() -> None:
                                   name=f"{args.scale}-scale" if not args.quick else "yelp2018-scale")
     log(f"dataset built in {time.time()-t0:.1f}s: {data.get_statistics()}")
 
-    cfg = Config({
-        "dataset": data.name,
-        "top_K": "[10, 20]",
-        "embedding_size": str(args.emb),
-        "batch_size": str(args.batch_size),
-        "test_batch_size": "2048",
-        "learn_rate": "0.001",
-        "reg_lambda": "0.0001",
-        "GCN_layer": str(args.layers),
-        "propagation_backend": args.backend,
-        "compute_dtype": args.compute_dtype,
-    })
-
-    model = get_model("LightGCN")(cfg, data)
-    model.device_put()
-    rng = jax.random.PRNGKey(2024)
-    rng, p_rng = jax.random.split(rng)
-    params = model.init_params(p_rng)
-    state = model.init_state(p_rng)
-
-    runner = EpochRunner(model, cfg.float("learn_rate"), args.batch_size, data.num_train)
-    opt_state = runner.init_opt_state(params)
     sampler = NegativeSampler(data)
 
-    def one_epoch(params, opt_state, state, rng, epoch):
-        rng, k1, k2 = jax.random.split(rng, 3)
-        users, pos, neg = sampler.sample_epoch(k1)
-        params, opt_state, state, terms = runner.run_epoch(
-            params, opt_state, state, (), users, pos, neg, k2, epoch
-        )
-        jax.block_until_ready(terms)
-        return params, opt_state, state, rng, terms
+    def make_setup(compute_dtype):
+        cfg = Config({
+            "dataset": data.name,
+            "top_K": "[10, 20]",
+            "embedding_size": str(args.emb),
+            "batch_size": str(args.batch_size),
+            "test_batch_size": "2048",
+            "learn_rate": "0.001",
+            "reg_lambda": "0.0001",
+            "GCN_layer": str(args.layers),
+            "propagation_backend": args.backend,
+            "compute_dtype": compute_dtype,
+        })
+        model = get_model("LightGCN")(cfg, data)
+        model.device_put()
+        rng = jax.random.PRNGKey(2024)
+        rng, p_rng = jax.random.split(rng)
+        params = model.init_params(p_rng)
+        state = model.init_state(p_rng)
+        runner = EpochRunner(model, cfg.float("learn_rate"), args.batch_size, data.num_train)
+        opt_state = runner.init_opt_state(params)
 
-    # warmup / compile
-    t0 = time.time()
-    params, opt_state, state, rng, terms = one_epoch(params, opt_state, state, rng, 0)
-    log(f"warmup epoch (compile) {time.time()-t0:.1f}s, loss terms {[float(t) for t in terms]}")
+        def one_epoch(params, opt_state, state, rng, epoch):
+            rng, k1, k2 = jax.random.split(rng, 3)
+            users, pos, neg = sampler.sample_epoch(k1)
+            params, opt_state, state, terms = runner.run_epoch(
+                params, opt_state, state, (), users, pos, neg, k2, epoch
+            )
+            jax.block_until_ready(terms)
+            return params, opt_state, state, rng, terms
+
+        return {"cfg": cfg, "model": model, "params": params, "state": state,
+                "opt_state": opt_state, "rng": rng, "one_epoch": one_epoch}
+
+    if args.compute_dtype == "best":
+        # autotune between the quality-admissible quantized modes: int4 is a
+        # bit-identical nibble-unpack of the int8 math (ops/fusedmm.py
+        # pack_nibbles), so docs/evidence/quant_parity.json covers both —
+        # which one is faster depends on whether the step is HBM-bound
+        # (int4 wins: half the matrix bytes) or unpack-VPU-bound
+        candidates = ["int8", "int4"]
+    else:
+        candidates = [args.compute_dtype]
+
+    trials = {}
+    for cand in candidates:
+        try:
+            su = make_setup(cand)
+        except Exception as e:  # e.g. interaction counts exceed a nibble
+            log(f"mode {cand}: setup failed ({type(e).__name__}: {e}) — skipped")
+            continue
+        t0 = time.time()
+        su["params"], su["opt_state"], su["state"], su["rng"], terms = su["one_epoch"](
+            su["params"], su["opt_state"], su["state"], su["rng"], 0
+        )
+        log(f"mode {cand}: warmup epoch (compile) {time.time()-t0:.1f}s, "
+            f"loss terms {[float(t) for t in terms]}")
+        if len(candidates) > 1:
+            t0 = time.time()
+            su["params"], su["opt_state"], su["state"], su["rng"], terms = su["one_epoch"](
+                su["params"], su["opt_state"], su["state"], su["rng"], 1
+            )
+            trial_s = time.time() - t0
+            log(f"mode {cand}: trial epoch {trial_s:.3f}s")
+            trials[cand] = (trial_s, su)
+        else:
+            trials[cand] = (0.0, su)
+
+    if not trials:
+        raise SystemExit("no benchmark mode could be set up")
+    chosen = min(trials, key=lambda k: trials[k][0])
+    if len(trials) > 1:
+        log(f"chosen mode: {chosen} ({ {k: round(v[0], 3) for k, v in trials.items()} })")
+    setup = trials[chosen][1]
+    for k in list(trials):
+        if k != chosen:
+            del trials[k]  # release the loser's adjacency/tables from HBM
+    cfg, model = setup["cfg"], setup["model"]
+    params, opt_state, state, rng = (setup["params"], setup["opt_state"],
+                                     setup["state"], setup["rng"])
+    one_epoch = setup["one_epoch"]
 
     # timed epochs
     t0 = time.time()
