@@ -147,6 +147,36 @@ def test_train_model_int8_quantized_path(tiny_dataset):
     assert res.best.recall is not None and float(res.best.recall[0]) >= 0.0
 
 
+def test_train_model_int4_trajectory_equals_int8(tiny_dataset):
+    """compute_dtype=int4 is a storage-only nibble repack of the int8
+    count matrix (ops/fusedmm.py pack_nibbles) — the FULL training
+    trajectory through the engine must match int8 exactly, not just the
+    kernel outputs (tests/test_propagate.py). This is the admissibility
+    basis for bench.py's 'best' autotune treating quant_parity.json's
+    int8 evidence as covering int4."""
+    import numpy as np
+    from idgrec_tpu.config import Config
+    from idgrec_tpu.engine.loop import train_model
+
+    base = {
+        "dataset": "tiny", "top_K": "[5]", "training_epochs": "3",
+        "interval": "2", "early_stopping": "10", "embedding_size": "16",
+        "batch_size": "64", "test_batch_size": "32", "learn_rate": "0.05",
+        "reg_lambda": "0.0001", "GCN_layer": "2",
+    }
+    r8 = train_model("LightGCN", tiny_dataset,
+                     config=Config(dict(base, compute_dtype="int8")),
+                     seed=7, log_dir=None, echo=False)
+    r4 = train_model("LightGCN", tiny_dataset,
+                     config=Config(dict(base, compute_dtype="int4")),
+                     seed=7, log_dir=None, echo=False)
+    assert [h["loss"] for h in r8.history] == [h["loss"] for h in r4.history]
+    for key in r8.params:
+        np.testing.assert_array_equal(np.asarray(r8.params[key]),
+                                      np.asarray(r4.params[key]))
+    np.testing.assert_array_equal(r8.best.recall, r4.best.recall)
+
+
 def test_evaluator_approx_topk_close_to_exact(tiny_dataset):
     import jax
     import numpy as np
