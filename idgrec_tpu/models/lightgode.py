@@ -9,7 +9,14 @@ solver over t ∈ [0, T] (LightGODE.py:112-143 — torchdiffeq with grid
 ``train_strategy`` (LightGODE.py:26-31):
 * 'MF'      — MF in training AND evaluation;
 * 'GODE'    — ODE encoder in training and evaluation;
-* 'MF_init' — MF while training, ODE at evaluation (default config).
+* 'MF_init' — behaves EXACTLY like 'GODE' in this reference: the
+  model's ``use_mf`` stays ``None`` for MF_init, so the per-forward
+  ``encoder.update(self.use_mf == self.training)`` (LightGODE.py:47-48)
+  computes ``None == True -> False`` and the ODE integrates during
+  TRAINING forwards too (verified empirically against the reference
+  code; its ``train_stage`` is permanently 'pretrain', LightGODE.py:25).
+  The name suggests "MF while training, ODE at eval", but parity means
+  reproducing what the code does, not what the name implies.
 
 The reference caches the integrated embeddings between eval batches
 (restore_user/item, LightGODE.py:73-83); this evaluator computes
@@ -51,9 +58,10 @@ class LightGODE(RecModel):
         return split_user_item(z, self.num_users)
 
     def _embeddings(self, params, training):
-        use_mf = self.train_strategy == "MF" or (
-            self.train_strategy == "MF_init" and training
-        )
+        # only 'MF' ever uses raw tables — 'MF_init' degenerates to the
+        # ODE path in train AND eval (see module docstring)
+        del training
+        use_mf = self.train_strategy == "MF"
         if use_mf:
             return params["user_emb"], params["item_emb"]
         return self._ode_embeddings(params)

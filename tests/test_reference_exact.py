@@ -17,9 +17,12 @@ evaluation shows up as a hard numeric mismatch.
 
 Excluded: BIGCF (the reference adds gaussian noise inside evaluation,
 BIGCF.py:66-68 — no deterministic oracle exists), MixRec (reference
-hardcodes .cuda()), NCL / LightGODE (reference needs faiss /
-torchdiffeq, absent here), CVGA (different batching contract; covered
-by unit tests).
+hardcodes .cuda(); noise per step), NCL (epoch-conditional loss arity,
+NCL.py:110-112 — covered by trajectory parity with a faiss stand-in),
+CVGA (reparameterization noise in the training forward; eval + training
+covered by test_reference_parity.py::test_cvga_converged_metrics_match_reference).
+LightGODE runs here via the torchdiffeq euler stand-in
+(tests/_ref_harness.py).
 """
 
 from __future__ import annotations
@@ -80,12 +83,17 @@ EXTRAS = {
                   "encoder": "LightGCN"},
     "SGL": {"ssl_lambda": "0.1", "ssl_ratio": "0.1", "aug_type": "ed",
             "temperature": "0.2"},
+    # ODE at eval AND (by the reference's None==True quirk,
+    # LightGODE.py:47-48) during training — deterministic either way;
+    # runs via the torchdiffeq fixed-grid euler stand-in
+    "LightGODE": {"gamma": "2.0", "t": "4.0", "train_strategy": "MF_init"},
 }
 
 # forward is deterministic (no in-forward RNG once dropout probs are 0):
 DET_LOSS = {
     "MFBPR", "LightGCN", "DirectAU", "EGCF", "SCCF", "LightGCN_pp",
     "LightCCF", "LightCSCF", "CGCL", "MAWU", "HCCF", "GCMC", "GCCF", "NGCF",
+    "LightGODE",
 }
 # eval uses an approximate data-dependent factorization (rank-q SVD of
 # R̃) computed by DIFFERENT algorithms (torch.svd_lowrank vs subspace
@@ -110,6 +118,10 @@ def _mapped_params(model_name, ref, params):
 
     if model_name == "EGCF":
         params["item_emb"] = t(ref.item_embedding.weight)
+        return params
+    if model_name == "LightGODE":
+        params["user_emb"] = t(ref.encoder.user_embedding.weight)
+        params["item_emb"] = t(ref.encoder.item_embedding.weight)
         return params
     params["user_emb"] = t(ref.user_embedding.weight)
     params["item_emb"] = t(ref.item_embedding.weight)
@@ -166,6 +178,9 @@ def _build_reference(dataset_dir, model_name, cfg):
 
     import torch
 
+    from _ref_harness import install_optional_dep_stubs
+
+    install_optional_dep_stubs()
     sys.path.insert(0, REF)
     from utility.utility_data.data_loader import Data
     from utility.utility_function import tools

@@ -21,6 +21,8 @@ import sys
 import numpy as np
 import pytest
 
+from _ref_harness import install_optional_dep_stubs as _install_optional_dep_stubs
+
 REF = "/root/reference"
 
 pytestmark = pytest.mark.skipif(
@@ -111,17 +113,24 @@ EXTRAS = {
                   "encoder": "LightGCN"},
     "SGL": {"ssl_lambda": "0.1", "ssl_ratio": "0.1", "aug_type": "ed",
             "temperature": "0.2"},
+    # k scaled to the 400-user dataset (shipped k=2000 exceeds the
+    # point count); 24 epochs so the hardcoded epoch>=20 E-step +
+    # proto loss (NCL.py:110-112,177) actually runs on both sides
+    "NCL": {"ssl_lambda": "1e-6", "proto_lambda": "1e-7",
+            "temperature": "0.05", "cl_layer": "1", "alpha": "1.5",
+            "k": "8", "training_epochs": "24"},
+    "MixRec": {"ssl_lambda": "1.1", "temperature": "0.2", "alpha": "0.1",
+               "beta": "0.1", "gamma": "0.1"},
+    "LightGODE": {"gamma": "2.0", "t": "4.0", "train_strategy": "MF_init"},
+    "CVGA": {"dropout": "0.3"},
 }
 
-# NOT in the matrix, with reasons:
-#   NCL       reference needs faiss (absent in this environment)
-#   LightGODE reference needs torchdiffeq (absent)
-#   MixRec    reference hardcodes .cuda() (MixRec.py:74-75) — GPU-only bug
-#   CVGA      custom reference trainer (user-row batches); covered by
-#             this repo's unit tests instead
-# SGL (also a custom reference trainer, per-epoch subgraph rebuilds) is
-# covered by test_sgl_converged_metrics_match_reference below, which
-# replicates its Trainer loop (SGL.py:115-197).
+# custom-trainer models are covered by their own harness functions
+# below: SGL (per-epoch subgraph rebuilds, SGL.py:115-197) by
+# test_sgl_converged_metrics_match_reference, CVGA (user-row batches,
+# CVGA.py:101-170) by test_cvga_converged_metrics_match_reference.
+# NCL's deviations (E_step at epoch>=20, epoch-conditional loss arity,
+# NCL.py:163-234) are handled inline in _run_reference.
 
 
 def _run_reference(dataset_dir: str, model_name: str, seed: int = 2024):
@@ -130,7 +139,13 @@ def _run_reference(dataset_dir: str, model_name: str, seed: int = 2024):
     import torch
 
     cfg = dict(CFG, **EXTRAS[model_name])
+    _install_optional_dep_stubs()
     sys.path.insert(0, REF)
+    # MixRec hardcodes `.cuda()` on its shuffle permutations
+    # (MixRec.py:74-75,109-110) — a GPU-only reference bug (SURVEY
+    # §7.3.7); neutralize it for the CPU parity run
+    orig_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
     try:
         from utility.utility_data.data_loader import Data
         from utility.utility_function import tools
@@ -150,6 +165,10 @@ def _run_reference(dataset_dir: str, model_name: str, seed: int = 2024):
         best_recall = np.zeros(2)
         best_ndcg = np.zeros(2)
         for epoch in range(int(cfg["training_epochs"])):
+            # NCL's trainer runs the k-means E-step each epoch >= 20
+            # (hardcoded, NCL.py:177-178) before entering train mode
+            if model_name == "NCL" and epoch >= 20:
+                model.E_step()
             # the reference trainer re-enters train mode EVERY epoch
             # (trainer.py:24) — without this, batch_test.Test's
             # model.eval() leaves BN/dropout in eval mode for all
@@ -164,7 +183,12 @@ def _run_reference(dataset_dir: str, model_name: str, seed: int = 2024):
             for bu, bp, bn in tools.mini_batch(
                 users, pos, neg, batch_size=int(cfg["batch_size"])
             ):
-                loss_list = model(bu, bp, bn)
+                # NCL's forward takes the epoch (conditional proto-loss
+                # arity, NCL.py:110-112,184)
+                if model_name == "NCL":
+                    loss_list = model(bu, bp, bn, epoch)
+                else:
+                    loss_list = model(bu, bp, bn)
                 total = sum(loss_list)
                 optim.zero_grad()
                 total.backward()
@@ -181,6 +205,7 @@ def _run_reference(dataset_dir: str, model_name: str, seed: int = 2024):
             best_ndcg = np.asarray(result["ndcg"])
         return best_recall, best_ndcg
     finally:
+        torch.Tensor.cuda = orig_cuda
         sys.path.remove(REF)
 
 
@@ -214,6 +239,17 @@ def _run_ours(dataset_dir: str, model_name: str, seed: int = 2024):
         # train mode per epoch exactly like the reference trainer
         # (trainer.py:24) — see the model.train() note in _run_reference
         "RecDCL",
+        # optional-dep / GPU-bug models, runnable via the harness's
+        # faithful stand-ins (_ref_harness.install_optional_dep_stubs +
+        # the torch.Tensor.cuda patch). LightGODE is NOT here: converged
+        # align/uniform training saturates the reference's own
+        # post-sigmoid eval (see test_lightgode_eval_saturation_artifact)
+        # so band comparison is structurally unfair in our favor; its
+        # math parity lives in test_reference_exact.py instead.
+        "NCL", "MixRec",
+        # intent-disentangled SSL (gaussian noise in forward -> band
+        # comparison like the other stochastic models)
+        "BIGCF",
     ],
 )
 def test_converged_metrics_match_reference(dataset_dir, model_name):
@@ -308,3 +344,166 @@ def test_sgl_converged_metrics_match_reference(dataset_dir):
             err_msg=f"SGL {name}: ours={ours} ref={ref}",
         )
         assert (ours > 0).all()
+
+
+def _run_reference_cvga(dataset_dir: str, seed: int = 2024):
+    """CVGA's custom trainer (CVGA.py:101-170): batches over USER ROWS
+    of the interaction matrix (densified per batch), not BPR triples —
+    the user permutation is drawn once, BEFORE the epoch loop."""
+    import importlib
+    import torch
+
+    cfg = dict(CFG, **EXTRAS["CVGA"])
+    sys.path.insert(0, REF)
+    try:
+        from utility.utility_data.data_loader import Data
+        from utility.utility_function import tools
+        from utility.utility_train import batch_test
+
+        mod = importlib.import_module("models.CVGA")
+        RefModel = mod.CVGA
+
+        tools.set_seed(seed)
+        device = torch.device("cpu")
+        dataset = Data(dataset_dir, cfg)
+        model = RefModel(cfg, dataset, device).to(device)
+        optim = torch.optim.Adam(model.parameters(), lr=float(cfg["learn_rate"]))
+
+        user_list = list(range(dataset.num_users))
+        np.random.shuffle(user_list)  # once, CVGA.py:106-107
+        train_data = dataset.user_item_net
+        bs = int(cfg["batch_size"])
+
+        best_recall = np.zeros(2)
+        best_ndcg = np.zeros(2)
+        for epoch in range(int(cfg["training_epochs"])):
+            model.train()
+            for start in range(0, dataset.num_users, bs):
+                end = min(start + bs, dataset.num_users)
+                rows = user_list[start:end]
+                users = torch.Tensor(rows).long().to(device)
+                dense = torch.FloatTensor(train_data[rows].toarray()).to(device)
+                loss_list = model(users, dense)
+                total = sum(loss_list)
+                optim.zero_grad()
+                total.backward()
+                optim.step()
+            if epoch % int(cfg["interval"]) == 0:
+                r = batch_test.Test(dataset, model, device, cfg)
+                if r["recall"][0] > best_recall[0]:
+                    best_recall = np.asarray(r["recall"])
+                    best_ndcg = np.asarray(r["ndcg"])
+
+        result = batch_test.Test(dataset, model, device, cfg)
+        if result["recall"][0] > best_recall[0]:
+            best_recall = np.asarray(result["recall"])
+            best_ndcg = np.asarray(result["ndcg"])
+        return best_recall, best_ndcg
+    finally:
+        sys.path.remove(REF)
+
+
+def test_cvga_converged_metrics_match_reference(dataset_dir):
+    """CVGA parity despite its custom trainer: the VAE's
+    reparameterization noise streams differ between the stacks, so this
+    pins the same converged band as the universal-trainer matrix."""
+    ref_recall, ref_ndcg = _run_reference_cvga(dataset_dir)
+    our_recall, our_ndcg = _run_ours(dataset_dir, "CVGA")
+    for ours, ref, name in (
+        (our_recall, ref_recall, "recall"),
+        (our_ndcg, ref_ndcg, "ndcg"),
+    ):
+        np.testing.assert_allclose(
+            ours, ref, rtol=0.25, atol=0.01,
+            err_msg=f"CVGA {name}: ours={ours} ref={ref}",
+        )
+        assert (ours > 0).all()
+
+
+def test_lightgode_eval_saturation_artifact(dataset_dir):
+    """Why LightGODE is excluded from the converged-band matrix, pinned
+    as a test. Align/uniform training grows embedding norms without
+    bound; after a few epochs a large fraction of the reference's
+    eval scores `sigmoid(U @ I^T)` saturate to EXACTLY 1.0 in f32, and
+    its `torch.topk` over post-sigmoid ratings (batch_test.py:59-68)
+    then tie-breaks by item index — destroying the model's own ranking.
+    This framework ranks raw scores (sigmoid is monotonic; masking is
+    below-floor, per SURVEY §7.3.3), so on IDENTICAL weights it scores
+    at least as well. Asserted here:
+
+    1. raw score parity: both stacks produce the same sigmoid matrix;
+    2. the saturation is real (a material fraction of scores == 1.0);
+    3. our evaluator's recall on the reference-trained weights is >=
+       the reference's own (the artifact only ever hurts the reference).
+    """
+    import importlib
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from idgrec_tpu.config import Config
+    from idgrec_tpu.data.dataset import Dataset
+    from idgrec_tpu.engine.evaluator import Evaluator
+    from idgrec_tpu.models import get_model
+
+    cfg = dict(CFG, **EXTRAS["LightGODE"])
+    _install_optional_dep_stubs()
+    sys.path.insert(0, REF)
+    try:
+        from utility.utility_data.data_loader import Data
+        from utility.utility_function import tools
+        from utility.utility_train import batch_test
+
+        tools.set_seed(2024)
+        device = torch.device("cpu")
+        dataset = Data(dataset_dir, cfg)
+        mod = importlib.import_module("models.LightGODE")
+        ref = mod.LightGODE(cfg, dataset, device).to(device)
+        optim = torch.optim.Adam(ref.parameters(), lr=float(cfg["learn_rate"]))
+        for _ in range(6):  # norms grow fast; 6 epochs saturate plenty
+            ref.train()
+            sample = dataset.sample_data_to_train_all()
+            u = torch.Tensor(sample[:, 0]).long()
+            p = torch.Tensor(sample[:, 1]).long()
+            n = torch.Tensor(sample[:, 2]).long()
+            u, p, n = tools.shuffle(u, p, n)
+            for bu, bp, bn in tools.mini_batch(
+                u, p, n, batch_size=int(cfg["batch_size"])
+            ):
+                total = sum(ref(bu, bp, bn))
+                optim.zero_grad()
+                total.backward()
+                optim.step()
+
+        ref.eval()
+        probe = torch.arange(32).long()
+        ref_rating = ref.get_rating_for_test(probe).detach().numpy()
+        r_ref = batch_test.Test(dataset, ref, device, cfg)
+
+        data = Dataset.load(dataset_dir, name="parity")
+        ours = get_model("LightGODE")(Config(cfg), data)
+        params = ours.init_params(jax.random.PRNGKey(0))
+        params["user_emb"] = jnp.array(np.array(
+            ref.encoder.user_embedding.weight.detach().numpy(), copy=True))
+        params["item_emb"] = jnp.array(np.array(
+            ref.encoder.item_embedding.weight.detach().numpy(), copy=True))
+
+        # 1. identical raw sigmoid scores on identical weights
+        ue, ie = ours.eval_embeddings(params, {}, (), jax.random.PRNGKey(1))
+        our_rating = np.asarray(jax.nn.sigmoid(ue[:32] @ ie.T))
+        np.testing.assert_allclose(our_rating, ref_rating, atol=2e-5)
+
+        # 2. the reference's scores really saturate (measured 21% of the
+        # full matrix at 8 epochs; require a material fraction here)
+        assert (ref_rating == 1.0).mean() > 0.03, (
+            f"expected saturation, frac={float((ref_rating == 1.0).mean())}")
+
+        # 3. ranking raw scores can only match or beat index-tie-broken
+        # saturated scores
+        ev = Evaluator(ours, data, Config(cfg))
+        r_our = ev.evaluate(params, {}, (), jax.random.PRNGKey(2))
+        assert float(r_our["recall"][0]) >= float(r_ref["recall"][0]) - 1e-6, (
+            f"ours={r_our['recall']} ref={r_ref['recall']}")
+    finally:
+        sys.path.remove(REF)
