@@ -141,7 +141,24 @@ def train_model(
         if latest is not None:
             template = {"params": params, "opt_state": opt_state, "state": state, "rng": rng}
             tree, meta = ckpt.load_checkpoint(checkpoint_dir, latest, template)
+            # loaded leaves are host numpy; re-place them with the
+            # template's shardings (runner.shard ran above) rather than
+            # leaving placement to jit inference — required for
+            # multi-host (numpy can't be implicitly globally placed)
+            # and keeps the row-sharded P('model', None) layout explicit
+            if mesh is not None:
+                from idgrec_tpu.parallel.mesh import global_put
+
+                for part in ("params", "opt_state", "state"):
+                    tree[part] = jax.tree.map(
+                        lambda leaf, tmpl: global_put(
+                            leaf, tmpl.sharding) if hasattr(tmpl, "sharding") else leaf,
+                        tree[part], template[part],
+                    )
             params, opt_state, state = tree["params"], tree["opt_state"], tree["state"]
+            # NOT re-placed: an uncommitted key follows the computation's
+            # mesh placement; committing it to the template key's single
+            # device would conflict with the mesh-placed state
             rng = jnp.asarray(tree["rng"])
             if "np_rng_state" in meta:
                 np_rng.bit_generator.state = meta["np_rng_state"]

@@ -66,3 +66,46 @@ def test_sparsity_eval_mode():
         echo=False, max_epochs=1,
     )
     assert result.best.recall is not None
+
+
+def test_mesh_checkpoint_resume_matches_straight_run(tmp_path):
+    """Checkpoint/resume UNDER A MESH: interrupted training (2 epochs,
+    checkpoint, fresh process state, 2 more) must match a straight
+    4-epoch mesh run, and the resumed state must still be row-sharded
+    P('model', None) — loaded checkpoints are host numpy and must be
+    re-placed with the template's shardings, not left to default
+    (replicated) placement."""
+    import jax
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+
+    from idgrec_tpu.config import Config
+    from idgrec_tpu.data.dataset import make_synthetic_dataset
+    from idgrec_tpu.engine.loop import train_model
+    from idgrec_tpu.parallel.mesh import make_mesh
+
+    data = make_synthetic_dataset(67, 83, 1024, 128, seed=21, name="tiny")
+    cfg = {
+        "dataset": "tiny", "top_K": "[5]", "training_epochs": "4",
+        "interval": "1", "early_stopping": "100", "embedding_size": "16",
+        "batch_size": "64", "test_batch_size": "32", "learn_rate": "0.05",
+        "reg_lambda": "0.0001", "GCN_layer": "2",
+    }
+    mesh = make_mesh(8, data_parallel=2)
+    straight = train_model("LightGCN", data, config=Config(dict(cfg)), seed=5,
+                           log_dir=None, echo=False, mesh=mesh)
+
+    ck = str(tmp_path / "ck")
+    train_model("LightGCN", data, config=Config(dict(cfg, training_epochs="2")),
+                seed=5, log_dir=None, echo=False, mesh=mesh,
+                checkpoint_dir=ck, checkpoint_every=1)
+    resumed = train_model("LightGCN", data, config=Config(dict(cfg)), seed=5,
+                          log_dir=None, echo=False, mesh=mesh,
+                          checkpoint_dir=ck, checkpoint_every=1)
+
+    assert resumed.sharded_params["user_emb"].sharding.spec == P("model", None)
+    for key in straight.params:
+        np.testing.assert_allclose(
+            np.asarray(straight.params[key]), np.asarray(resumed.params[key]),
+            rtol=2e-5, atol=1e-6, err_msg=f"param {key} diverged after resume")
+    np.testing.assert_allclose(straight.best.recall, resumed.best.recall, atol=1e-6)
