@@ -243,21 +243,27 @@ def train_model(
                 recall=result["recall"], ndcg=result["ndcg"],
                 precision=result["precision"],
             )
-            if checkpoint_dir and primary and (
-                checkpoint_every is None or (epoch + 1) % checkpoint_every == 0
-            ):
-                ckpt.save_checkpoint(
-                    checkpoint_dir, epoch + 1,
-                    {"params": params, "opt_state": opt_state, "state": state, "rng": rng},
-                    np_rng_state=np_rng.bit_generator.state,
-                    best={
-                        "count": best.count, "epoch": best.epoch,
-                        "recall": best.recall, "ndcg": best.ndcg,
-                    },
-                )
-            if best.stop and respects_early_stop:
-                logger.info("Early stop......")
-                break
+        # checkpoint cadence is independent of the eval interval:
+        # checkpoint_every=None (default) saves at eval epochs; an
+        # explicit value saves every N epochs even between evals. Saved
+        # AFTER the eval block so the snapshot includes the post-eval
+        # RNG state and best-results bookkeeping (resume == straight run).
+        if checkpoint_dir and primary and (
+            (checkpoint_every is None and epoch % interval == 0)
+            or (checkpoint_every is not None and (epoch + 1) % checkpoint_every == 0)
+        ):
+            ckpt.save_checkpoint(
+                checkpoint_dir, epoch + 1,
+                {"params": params, "opt_state": opt_state, "state": state, "rng": rng},
+                np_rng_state=np_rng.bit_generator.state,
+                best={
+                    "count": best.count, "epoch": best.epoch,
+                    "recall": best.recall, "ndcg": best.ndcg,
+                },
+            )
+        if best.stop and respects_early_stop:
+            logger.info("Early stop......")
+            break
 
     if not respects_early_stop:
         # SGL-style final evaluation after the last epoch (SGL.py:196)

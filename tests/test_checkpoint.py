@@ -109,3 +109,28 @@ def test_mesh_checkpoint_resume_matches_straight_run(tmp_path):
             np.asarray(straight.params[key]), np.asarray(resumed.params[key]),
             rtol=2e-5, atol=1e-6, err_msg=f"param {key} diverged after resume")
     np.testing.assert_allclose(straight.best.recall, resumed.best.recall, atol=1e-6)
+
+
+def test_checkpoint_cadence_independent_of_eval_interval(tmp_path):
+    """checkpoint_every=1 must save every epoch even when interval=4
+    (previously the save was nested inside the eval branch, silently
+    AND-ing the two cadences)."""
+    import os
+
+    from idgrec_tpu.config import Config
+    from idgrec_tpu.data.dataset import make_synthetic_dataset
+    from idgrec_tpu.engine.loop import train_model
+
+    data = make_synthetic_dataset(50, 60, 500, 80, seed=1, name="tiny")
+    cfg = Config({
+        "dataset": "tiny", "top_K": "[5]", "training_epochs": "4",
+        "interval": "4", "early_stopping": "100", "embedding_size": "8",
+        "batch_size": "64", "test_batch_size": "32", "learn_rate": "0.05",
+        "reg_lambda": "0.0001", "GCN_layer": "1",
+    })
+    ck = str(tmp_path / "ck")
+    train_model("LightGCN", data, config=cfg, seed=5, log_dir=None, echo=False,
+                checkpoint_dir=ck, checkpoint_every=1)
+    # keep=2 prunes older ones; the last two epochs must both be there
+    saved = sorted(f for f in os.listdir(ck) if f.endswith(".npz"))
+    assert saved == ["ckpt_3.npz", "ckpt_4.npz"], saved
