@@ -17,12 +17,12 @@ evaluation shows up as a hard numeric mismatch.
 
 Excluded: BIGCF (the reference adds gaussian noise inside evaluation,
 BIGCF.py:66-68 — no deterministic oracle exists), MixRec (reference
-hardcodes .cuda(); noise per step), NCL (epoch-conditional loss arity,
-NCL.py:110-112 — covered by trajectory parity with a faiss stand-in),
-CVGA (reparameterization noise in the training forward; eval + training
-covered by test_reference_parity.py::test_cvga_converged_metrics_match_reference).
-LightGODE runs here via the torchdiffeq euler stand-in
-(tests/_ref_harness.py).
+hardcodes .cuda(); noise per step), CVGA (reparameterization noise in
+the training forward; eval + training covered by
+test_reference_parity.py::test_cvga_converged_metrics_match_reference).
+LightGODE and NCL run here via the torchdiffeq / faiss stand-ins
+(tests/_ref_harness.py); NCL's proto term is compared at epoch 20 with
+the reference's own E_step centroids injected into our context.
 """
 
 from __future__ import annotations
@@ -87,13 +87,19 @@ EXTRAS = {
     # LightGODE.py:47-48) during training — deterministic either way;
     # runs via the torchdiffeq fixed-grid euler stand-in
     "LightGODE": {"gamma": "2.0", "t": "4.0", "train_strategy": "MF_init"},
+    # k scaled to the 400-point tables; the proto term is pinned too:
+    # the reference's E_step centroids (faiss stand-in) are INJECTED
+    # into our epoch context and both sides evaluate at epoch=20, the
+    # reference's hardcoded prototype threshold (NCL.py:110)
+    "NCL": {"ssl_lambda": "1e-6", "proto_lambda": "1e-7",
+            "temperature": "0.05", "cl_layer": "1", "alpha": "1.5", "k": "8"},
 }
 
 # forward is deterministic (no in-forward RNG once dropout probs are 0):
 DET_LOSS = {
     "MFBPR", "LightGCN", "DirectAU", "EGCF", "SCCF", "LightGCN_pp",
     "LightCCF", "LightCSCF", "CGCL", "MAWU", "HCCF", "GCMC", "GCCF", "NGCF",
-    "LightGODE",
+    "LightGODE", "NCL",
 }
 # eval uses an approximate data-dependent factorization (rank-q SVD of
 # R̃) computed by DIFFERENT algorithms (torch.svd_lowrank vs subspace
@@ -255,14 +261,28 @@ def test_exact_parity_with_injected_weights(parity_env, model_name):
             bu = rng.integers(0, data.num_users, 512)
             bp = np.array([data.positive_items(int(x))[0] for x in bu])
             bn = rng.integers(0, data.num_items, 512)
+            epoch_val, fwd_args, loss_ctx = 0, (), ctx
+            if model_name == "NCL":
+                ref.E_step()  # faiss stand-in; we inject its RESULT
+
+                def tt(x):
+                    return jnp.asarray(x.detach().cpu().numpy())
+
+                loss_ctx = {
+                    "user_centroids": tt(ref.user_centroids),
+                    "user_2cluster": tt(ref.user_2cluster),
+                    "item_centroids": tt(ref.item_centroids),
+                    "item_2cluster": tt(ref.item_2cluster),
+                }
+                epoch_val, fwd_args = 20, (20,)
             ll_ref = ref(torch.from_numpy(bu), torch.from_numpy(bp),
-                         torch.from_numpy(bn))
+                         torch.from_numpy(bn), *fwd_args)
             with ours.bound_constants(ours.constants()):
                 terms, _ = ours.loss_terms(
-                    params, state, ctx,
+                    params, state, loss_ctx,
                     {"user": jnp.asarray(bu), "pos": jnp.asarray(bp),
                      "neg": jnp.asarray(bn)},
-                    jax.random.PRNGKey(3), jnp.asarray(0),
+                    jax.random.PRNGKey(3), jnp.asarray(epoch_val),
                 )
             ref_vals = np.asarray([float(x) for x in ll_ref])
             our_vals = np.asarray([float(t) for t in terms])
