@@ -15,11 +15,13 @@ Unlike trajectory comparison (test_reference_parity.py), this is
 deterministic: any semantic difference in propagation, losses, or
 evaluation shows up as a hard numeric mismatch.
 
-Excluded: BIGCF (the reference adds gaussian noise inside evaluation,
-BIGCF.py:66-68 — no deterministic oracle exists), MixRec (reference
-hardcodes .cuda(); noise per step), CVGA (reparameterization noise in
-the training forward; eval + training covered by
+Excluded: BIGCF (the reference adds gaussian noise inside EVALUATION,
+BIGCF.py:66-68 — no deterministic oracle exists), CVGA (the reference
+reparameterize samples noise in eval too, CVGA.py:63-67 — faithfully
+mirrored by models/cvga.py; training + eval covered by
 test_reference_parity.py::test_cvga_converged_metrics_match_reference).
+MixRec is eval-only here (its training forward draws beta/dirichlet
+mixups per step); its training behavior is covered by trajectory parity.
 LightGODE and NCL run here via the torchdiffeq / faiss stand-ins
 (tests/_ref_harness.py); NCL's proto term is compared at epoch 20 with
 the reference's own E_step centroids injected into our context.
@@ -93,6 +95,11 @@ EXTRAS = {
     # reference's hardcoded prototype threshold (NCL.py:110)
     "NCL": {"ssl_lambda": "1e-6", "proto_lambda": "1e-7",
             "temperature": "0.05", "cl_layer": "1", "alpha": "1.5", "k": "8"},
+    # eval-only (NOT in DET_LOSS): the training forward draws
+    # beta/dirichlet mixups per step (MixRec.py:94-154), but
+    # get_rating_for_test runs the clean sum-aggregate — deterministic
+    "MixRec": {"ssl_lambda": "1.1", "temperature": "0.2", "alpha": "0.1",
+               "beta": "0.1", "gamma": "0.1"},
 }
 
 # forward is deterministic (no in-forward RNG once dropout probs are 0):
