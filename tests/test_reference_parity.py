@@ -268,14 +268,17 @@ def test_converged_metrics_match_reference(dataset_dir, model_name):
         assert (ours > 0).all()
 
 
-def _run_reference_sgl(dataset_dir: str, seed: int = 2024):
+def _run_reference_sgl(dataset_dir: str, seed: int = 2024, aug_type: str = "ed"):
     """Replicates the reference's custom SGL trainer (SGL.py:115-197):
-    two fresh edge-dropout subgraphs per epoch, interval evals that
-    never early-stop, and a final post-training evaluation."""
+    two fresh augmented subgraphs per epoch ('ed': one shared graph per
+    view, SGL.py:130-135; 'rw': an independent graph PER LAYER per view,
+    SGL.py:136-143), interval evals that never early-stop, and a final
+    post-training evaluation."""
     import importlib
     import torch
 
     cfg = dict(CFG, **EXTRAS["SGL"])
+    cfg["aug_type"] = aug_type
     sys.path.insert(0, REF)
     try:
         from utility.utility_data.data_loader import Data
@@ -292,9 +295,14 @@ def _run_reference_sgl(dataset_dir: str, seed: int = 2024):
         optim = torch.optim.Adam(model.parameters(), lr=float(cfg["learn_rate"]))
         ssl_ratio = float(cfg["ssl_ratio"])
 
-        def make_subgraph():
+        def one_subgraph():
             g = tools.create_adj_mat(dataset.user_item_net, cfg["aug_type"], ssl_ratio)
             return tools.convert_sp_mat_to_sp_tensor(g).to(device)
+
+        def make_subgraph():
+            if cfg["aug_type"] == "rw":  # per-layer list, SGL.py:136-143
+                return [one_subgraph() for _ in range(int(cfg["GCN_layer"]))]
+            return one_subgraph()
 
         best_recall = np.zeros(2)
         best_ndcg = np.zeros(2)
@@ -329,11 +337,14 @@ def _run_reference_sgl(dataset_dir: str, seed: int = 2024):
         sys.path.remove(REF)
 
 
-def test_sgl_converged_metrics_match_reference(dataset_dir):
-    """SGL parity despite its custom trainer: per-epoch subgraph
-    augmentation means extra RNG divergence between the stacks, so this
-    pins the same converged band as the universal-trainer matrix."""
-    ref_recall, ref_ndcg = _run_reference_sgl(dataset_dir)
+@pytest.mark.parametrize("aug_type", ["ed", "rw"])
+def test_sgl_converged_metrics_match_reference(dataset_dir, aug_type):
+    """SGL parity despite its custom trainer, for BOTH augmentation
+    modes (shared edge-dropout graph vs per-layer random-walk lists):
+    per-epoch subgraph RNG diverges between the stacks, so this pins
+    the same converged band as the universal-trainer matrix."""
+    ref_recall, ref_ndcg = _run_reference_sgl(dataset_dir, aug_type=aug_type)
+    EXTRAS["SGL"] = dict(EXTRAS["SGL"], aug_type=aug_type)
     our_recall, our_ndcg = _run_ours(dataset_dir, "SGL")
     for ours, ref, name in (
         (our_recall, ref_recall, "recall"),
