@@ -181,12 +181,21 @@ def main() -> None:
                                      setup["state"], setup["rng"])
     one_epoch = setup["one_epoch"]
 
-    # timed epochs
+    # timed epochs (per-epoch times logged: the round-1 TPU run showed a
+    # 3.6s warmup epoch but 12.9s averaged timed epochs — per-epoch
+    # lines expose whether that was tunnel/device contention variance)
+    per_epoch = []
     t0 = time.time()
     for e in range(args.epochs):
+        t1 = time.time()
         params, opt_state, state, rng, terms = one_epoch(params, opt_state, state, rng, e + 1)
+        per_epoch.append(time.time() - t1)
+        log(f"epoch {e+1}: {per_epoch[-1]:.3f}s")
     elapsed = time.time() - t0
     epoch_time = elapsed / args.epochs
+    if len(per_epoch) > 1:
+        log(f"epoch time min/median/max: {min(per_epoch):.3f}/"
+            f"{sorted(per_epoch)[len(per_epoch)//2]:.3f}/{max(per_epoch):.3f}s")
     pairs_per_sec = data.num_train / epoch_time
     log(f"epoch time {epoch_time:.3f}s, {pairs_per_sec:,.0f} pairs/s")
 
