@@ -27,6 +27,11 @@ import time
 BASELINE_PAIRS_PER_SEC = 70_700.0  # BASELINE.md derived throughput
 
 
+def runner_steps(data, args) -> int:
+    """Steps per epoch under wrap batching (trainer.py:36 parity)."""
+    return -(-data.num_train // args.batch_size)
+
+
 def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
@@ -196,6 +201,23 @@ def main() -> None:
     if len(per_epoch) > 1:
         log(f"epoch time min/median/max: {min(per_epoch):.3f}/"
             f"{sorted(per_epoch)[len(per_epoch)//2]:.3f}/{max(per_epoch):.3f}s")
+
+    # propagation GFLOP/s at the recorded rate (BASELINE.md north star
+    # asks for pairs/s AND propagation GFLOP/s) — same work model as the
+    # engine's ThroughputMeter
+    from idgrec_tpu.engine.profiling import ThroughputMeter
+
+    graph = getattr(model, "graph", None)
+    dense_dims = getattr(graph, "padded_shape", None) or (
+        tuple(graph.m.shape) if hasattr(graph, "m") else None)
+    meter = ThroughputMeter(
+        num_train=data.num_train, nnz=data.nnz, emb_size=args.emb,
+        num_layers=args.layers, steps_per_epoch=runner_steps(data, args),
+        dense_dims=dense_dims,
+    )
+    rates = meter.rates(epoch_time)
+    log(f"propagation: {rates['sparse_gflops']:.1f} sparse-GFLOP/s "
+        f"(algorithmic), {rates['mxu_gflops']:.1f} MXU-GFLOP/s (dense backend)")
     pairs_per_sec = data.num_train / epoch_time
     log(f"epoch time {epoch_time:.3f}s, {pairs_per_sec:,.0f} pairs/s")
 

@@ -129,7 +129,8 @@ def train_model(
         num_layers=getattr(model, "num_layers", 0) or 0,
         steps_per_epoch=runner.num_batches,
         aggregates_per_step=getattr(model, "aggregates_per_step", 1),
-        dense_dims=tuple(graph.m.shape) if hasattr(graph, "m") else None,
+        dense_dims=getattr(graph, "padded_shape", None) or (
+            tuple(graph.m.shape) if hasattr(graph, "m") else None),
     )
 
     history: list[dict] = []
