@@ -87,10 +87,20 @@ def load_checkpoint(directory: str, epoch: int, template):
         raise ValueError(
             f"checkpoint has {len(arrays)} leaves, template has {len(leaves)}"
         )
-    restored = [
-        np.asarray(a, dtype=np.asarray(t).dtype).reshape(np.asarray(t).shape)
-        for a, t in zip(arrays, leaves)
-    ]
+    def _fit(a, t):
+        t = np.asarray(t)
+        a = np.asarray(a, dtype=t.dtype)
+        if a.shape == t.shape:
+            return a
+        if a.ndim == t.ndim and all(sa >= st for sa, st in zip(a.shape, t.shape)):
+            # padded-storage checkpoint (mesh training pads table rows
+            # to 128-multiples, parallel/padding.py) loaded into a
+            # true-shape template — e.g. serving single-chip from a
+            # mesh-trained run: the real rows are the leading block
+            return a[tuple(slice(0, s) for s in t.shape)]
+        return a.reshape(t.shape)
+
+    restored = [_fit(a, t) for a, t in zip(arrays, leaves)]
     tree = jax.tree.unflatten(treedef, restored)
     with open(os.path.join(directory, f"ckpt_{epoch}.json")) as f:
         meta = json.load(f)

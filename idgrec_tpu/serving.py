@@ -81,6 +81,40 @@ class Recommender:
         model.device_put()
         return cls(model, result.params, result.state, (), data, **kw)
 
+    @classmethod
+    def from_checkpoint(cls, model_name: str, data: Dataset, config: Config,
+                        checkpoint_dir: str, epoch: int | None = None,
+                        **kw) -> "Recommender":
+        """Serve from a training checkpoint written by
+        ``train_model(checkpoint_dir=...)`` — the deploy path: train in
+        one process, recommend from the saved weights in another. Loads
+        the latest checkpoint unless ``epoch`` picks a specific one."""
+        from idgrec_tpu.engine import checkpoint as ckpt
+        from idgrec_tpu.engine.trainer import EpochRunner
+
+        model = get_model(model_name)(config, data)
+        model.device_put()
+        rng = jax.random.PRNGKey(0)
+        params = model.init_params(rng)
+        state = model.init_state(rng)
+        # the checkpoint tree is {params, opt_state, state, rng}
+        # (engine/loop.py); rebuild the same template shapes
+        runner = EpochRunner(
+            model, learn_rate=config.float("learn_rate"),
+            batch_size=config.int("batch_size"), num_train=data.num_train,
+        )
+        template = {
+            "params": params, "opt_state": runner.init_opt_state(params),
+            "state": state, "rng": rng,
+        }
+        if epoch is None:
+            epoch = ckpt.latest_checkpoint(checkpoint_dir)
+            if epoch is None:
+                raise FileNotFoundError(
+                    f"no checkpoints under {checkpoint_dir!r}")
+        tree, _meta = ckpt.load_checkpoint(checkpoint_dir, epoch, template)
+        return cls(model, tree["params"], tree["state"], (), data, **kw)
+
     def _score_impl(self, users: jnp.ndarray, excl_rows: jnp.ndarray, k: int):
         from idgrec_tpu.parallel.topk import items_sharded, sharded_topk
 

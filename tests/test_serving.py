@@ -84,3 +84,42 @@ def test_recommender_mesh_matches_single_device(trained):
     items2, scores2 = rec2.recommend(users, k=5)
     np.testing.assert_array_equal(items1, items2)
     np.testing.assert_allclose(scores1, scores2, rtol=1e-5, atol=1e-6)
+
+
+def test_from_checkpoint_matches_train_result(trained, tmp_path):
+    """The deploy path: train with checkpointing in one 'process',
+    serve from the saved weights in another — recommendations must
+    equal serving directly from the train result."""
+    data, cfg, _ = trained
+    ck = str(tmp_path / "ck")
+    result = train_model("LightGCN", data, config=cfg, seed=1, log_dir=None,
+                         echo=False, checkpoint_dir=ck, checkpoint_every=1)
+    direct = Recommender.from_train_result("LightGCN", data, cfg, result)
+    served = Recommender.from_checkpoint("LightGCN", data, cfg, ck)
+    users = [0, 7, 23, 49]
+    di, dscore = direct.recommend(users, k=5)
+    si, sscore = served.recommend(users, k=5)
+    np.testing.assert_array_equal(di, si)
+    np.testing.assert_allclose(dscore, sscore, rtol=1e-6)
+
+
+def test_from_checkpoint_mesh_trained_serves_single_device(trained, tmp_path):
+    """A checkpoint written by MESH training stores 128-padded tables
+    (parallel/padding.py); serving single-chip from it must slice the
+    real rows and produce the same recommendations as serving from the
+    mesh train result's true-shape params."""
+    from idgrec_tpu.parallel.mesh import make_mesh
+
+    data, cfg, _ = trained
+    ck = str(tmp_path / "ckm")
+    mesh = make_mesh(8, data_parallel=2)
+    result = train_model("LightGCN", data, config=cfg, seed=1, log_dir=None,
+                         echo=False, mesh=mesh,
+                         checkpoint_dir=ck, checkpoint_every=1)
+    direct = Recommender.from_train_result("LightGCN", data, cfg, result)
+    served = Recommender.from_checkpoint("LightGCN", data, cfg, ck)
+    users = [0, 7, 23, 49]
+    di, dscore = direct.recommend(users, k=5)
+    si, sscore = served.recommend(users, k=5)
+    np.testing.assert_array_equal(di, si)
+    np.testing.assert_allclose(dscore, sscore, rtol=1e-5, atol=1e-6)
