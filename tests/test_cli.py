@@ -95,3 +95,50 @@ def test_cli_mesh_auto_and_off(dataset_dir, tmp_path, capsys):
     # mesh vs single-device differ only by collective-reduction round-off
     np.testing.assert_allclose(best_metrics(out_off), best_metrics(out_auto),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_cli_serve_from_checkpoint(dataset_dir, tmp_path, capsys):
+    """Train with checkpointing via the training CLI, then answer
+    top-K requests via the serving CLI — one JSON line per user,
+    seen items filtered."""
+    import json
+
+    from idgrec_tpu.main import main
+    from idgrec_tpu.serve import main as serve_main
+
+    args = [
+        "--model=LightGCN",
+        f"--dataset_path={dataset_dir}/dataset/",
+        "--dataset=tinyds",
+        f"--log_dir={tmp_path}/log",
+        "--epochs=2",
+        f"--checkpoint_dir={tmp_path}/ck",
+    ]
+    assert main(args) == 0
+    capsys.readouterr()
+
+    code = serve_main([
+        "--model=LightGCN",
+        f"--dataset_path={dataset_dir}/dataset/",
+        "--dataset=tinyds",
+        f"--checkpoint_dir={tmp_path}/ck",
+        "--users=0,3,7",
+        "-k", "4",
+    ])
+    assert code == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    assert len(lines) == 3
+    recs = [json.loads(l) for l in lines]
+    assert [r["user"] for r in recs] == [0, 3, 7]
+    for r in recs:
+        assert len(r["items"]) == 4 and len(r["scores"]) == 4
+        assert r["scores"] == sorted(r["scores"], reverse=True)
+
+    # unknown model / missing checkpoint paths error cleanly
+    assert serve_main(["--model=NopeModel", "--checkpoint_dir=x",
+                       "--users=1"]) == 2
+    assert serve_main(["--model=LightGCN",
+                       f"--dataset_path={dataset_dir}/dataset/",
+                       "--dataset=tinyds",
+                       f"--checkpoint_dir={tmp_path}/empty",
+                       "--users=1"]) == 2
