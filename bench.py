@@ -27,11 +27,6 @@ import time
 BASELINE_PAIRS_PER_SEC = 70_700.0  # BASELINE.md derived throughput
 
 
-def runner_steps(data, args) -> int:
-    """Steps per epoch under wrap batching (trainer.py:36 parity)."""
-    return -(-data.num_train // args.batch_size)
-
-
 def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
@@ -136,7 +131,8 @@ def main() -> None:
             return params, opt_state, state, rng, terms
 
         return {"cfg": cfg, "model": model, "params": params, "state": state,
-                "opt_state": opt_state, "rng": rng, "one_epoch": one_epoch}
+                "opt_state": opt_state, "rng": rng, "one_epoch": one_epoch,
+                "runner": runner}
 
     if args.compute_dtype == "best":
         # autotune between the quality-admissible quantized modes: int4 is a
@@ -180,7 +176,10 @@ def main() -> None:
     setup = trials[chosen][1]
     for k in list(trials):
         if k != chosen:
-            del trials[k]  # release the loser's adjacency/tables from HBM
+            del trials[k]
+    # the loop variables still reference the LAST candidate's setup —
+    # drop them too or the loser's adjacency/tables stay alive in HBM
+    del su, terms
     cfg, model = setup["cfg"], setup["model"]
     params, opt_state, state, rng = (setup["params"], setup["opt_state"],
                                      setup["state"], setup["rng"])
@@ -212,7 +211,7 @@ def main() -> None:
         tuple(graph.m.shape) if hasattr(graph, "m") else None)
     meter = ThroughputMeter(
         num_train=data.num_train, nnz=data.nnz, emb_size=args.emb,
-        num_layers=args.layers, steps_per_epoch=runner_steps(data, args),
+        num_layers=args.layers, steps_per_epoch=setup["runner"].num_batches,
         dense_dims=dense_dims,
     )
     rates = meter.rates(epoch_time)

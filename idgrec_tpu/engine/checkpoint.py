@@ -24,10 +24,22 @@ import numpy as np
 _CKPT_RE = re.compile(r"ckpt_(\d+)\.npz$")
 
 
+def _to_host(leaf) -> np.ndarray:
+    """Materialize a (possibly globally-sharded) array on this host.
+
+    Multi-process meshes have leaves spanning non-addressable devices;
+    ``np.asarray`` on those raises — gather them across hosts first."""
+    if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        leaf = multihost_utils.process_allgather(leaf, tiled=True)
+    return np.asarray(leaf)
+
+
 def save_checkpoint(directory: str, epoch: int, tree, np_rng_state: dict | None = None,
                     best: dict | None = None, keep: int = 2) -> str:
     os.makedirs(directory, exist_ok=True)
-    leaves = [np.asarray(l) for l in jax.tree.leaves(tree)]
+    leaves = [_to_host(l) for l in jax.tree.leaves(tree)]
     path = os.path.join(directory, f"ckpt_{epoch}.npz")
     tmp = path + ".tmp.npz"
     np.savez(tmp, *leaves)
@@ -88,17 +100,23 @@ def load_checkpoint(directory: str, epoch: int, template):
             f"checkpoint has {len(arrays)} leaves, template has {len(leaves)}"
         )
     def _fit(a, t):
-        t = np.asarray(t)
-        a = np.asarray(a, dtype=t.dtype)
-        if a.shape == t.shape:
+        # read the template's dtype/shape WITHOUT materializing it —
+        # on a multi-process mesh the template leaves span
+        # non-addressable devices and np.asarray would raise
+        t_dtype = getattr(t, "dtype", None) or np.asarray(t).dtype
+        t_shape = tuple(t.shape) if hasattr(t, "shape") else np.asarray(t).shape
+        a = np.asarray(a, dtype=t_dtype)
+        if a.shape == t_shape:
             return a
-        if a.ndim == t.ndim and all(sa >= st for sa, st in zip(a.shape, t.shape)):
+        if a.ndim == len(t_shape) and all(
+            sa >= st for sa, st in zip(a.shape, t_shape)
+        ):
             # padded-storage checkpoint (mesh training pads table rows
             # to 128-multiples, parallel/padding.py) loaded into a
             # true-shape template — e.g. serving single-chip from a
             # mesh-trained run: the real rows are the leading block
-            return a[tuple(slice(0, s) for s in t.shape)]
-        return a.reshape(t.shape)
+            return a[tuple(slice(0, s) for s in t_shape)]
+        return a.reshape(t_shape)
 
     restored = [_fit(a, t) for a, t in zip(arrays, leaves)]
     tree = jax.tree.unflatten(treedef, restored)

@@ -85,7 +85,11 @@ def main(argv=None) -> int:
         print(f"error: {e}", file=sys.stderr)
         return 2
 
-    items, scores = rec.recommend(users, k=args.top_k)
+    try:
+        items, scores = rec.recommend(users, k=args.top_k)
+    except ValueError as e:  # out-of-range ids, k > num_items
+        print(f"error: {e}", file=sys.stderr)
+        return 2
     for u, it, sc in zip(users, items, scores):
         print(json.dumps({
             "user": int(u),

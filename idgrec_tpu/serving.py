@@ -141,6 +141,9 @@ class Recommender:
             raise ValueError("users must be a 1-D list of user ids")
         if np.any((users < 0) | (users >= self.data.num_users)):
             raise ValueError("user id out of range")
+        if not 0 < k <= self.data.num_items:
+            raise ValueError(
+                f"k must be in [1, num_items={self.data.num_items}], got {k}")
         b = users.size
         b_pad = 1 << max(0, (b - 1).bit_length())
         users_pad = np.zeros(b_pad, np.int32)

@@ -209,14 +209,17 @@ def _run_reference(dataset_dir: str, model_name: str, seed: int = 2024):
         sys.path.remove(REF)
 
 
-def _run_ours(dataset_dir: str, model_name: str, seed: int = 2024):
+def _run_ours(dataset_dir: str, model_name: str, seed: int = 2024,
+              overrides: dict | None = None):
     from idgrec_tpu.config import Config
     from idgrec_tpu.data.dataset import Dataset
     from idgrec_tpu.engine.loop import train_model
 
     data = Dataset.load(dataset_dir, name="parity")
+    cfg = dict(CFG, **EXTRAS[model_name])
+    cfg.update(overrides or {})
     res = train_model(
-        model_name, data, config=Config(dict(CFG, **EXTRAS[model_name])), seed=seed,
+        model_name, data, config=Config(cfg), seed=seed,
         log_dir=None, echo=False,
     )
     return np.asarray(res.best.recall), np.asarray(res.best.ndcg)
@@ -344,8 +347,8 @@ def test_sgl_converged_metrics_match_reference(dataset_dir, aug_type):
     per-epoch subgraph RNG diverges between the stacks, so this pins
     the same converged band as the universal-trainer matrix."""
     ref_recall, ref_ndcg = _run_reference_sgl(dataset_dir, aug_type=aug_type)
-    EXTRAS["SGL"] = dict(EXTRAS["SGL"], aug_type=aug_type)
-    our_recall, our_ndcg = _run_ours(dataset_dir, "SGL")
+    our_recall, our_ndcg = _run_ours(
+        dataset_dir, "SGL", overrides={"aug_type": aug_type})
     for ours, ref, name in (
         (our_recall, ref_recall, "recall"),
         (our_ndcg, ref_ndcg, "ndcg"),
