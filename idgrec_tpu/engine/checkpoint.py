@@ -37,9 +37,17 @@ def _to_host(leaf) -> np.ndarray:
 
 
 def save_checkpoint(directory: str, epoch: int, tree, np_rng_state: dict | None = None,
-                    best: dict | None = None, keep: int = 2) -> str:
-    os.makedirs(directory, exist_ok=True)
+                    best: dict | None = None, keep: int = 2,
+                    write: bool = True) -> str | None:
+    """Gather the tree to host and (if ``write``) persist it.
+
+    Multi-process note: the host-gather of non-addressable leaves is a
+    COLLECTIVE (process_allgather) — every process must call this; pass
+    ``write=is_primary()`` so only host 0 touches the filesystem."""
     leaves = [_to_host(l) for l in jax.tree.leaves(tree)]
+    if not write:
+        return None
+    os.makedirs(directory, exist_ok=True)
     path = os.path.join(directory, f"ckpt_{epoch}.npz")
     tmp = path + ".tmp.npz"
     np.savez(tmp, *leaves)

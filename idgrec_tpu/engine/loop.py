@@ -249,10 +249,12 @@ def train_model(
         # explicit value saves every N epochs even between evals. Saved
         # AFTER the eval block so the snapshot includes the post-eval
         # RNG state and best-results bookkeeping (resume == straight run).
-        if checkpoint_dir and primary and (
+        if checkpoint_dir and (
             (checkpoint_every is None and epoch % interval == 0)
             or (checkpoint_every is not None and (epoch + 1) % checkpoint_every == 0)
         ):
+            # EVERY process calls this (the host-gather of sharded
+            # leaves is a collective); only the primary writes
             ckpt.save_checkpoint(
                 checkpoint_dir, epoch + 1,
                 {"params": params, "opt_state": opt_state, "state": state, "rng": rng},
@@ -261,6 +263,7 @@ def train_model(
                     "count": best.count, "epoch": best.epoch,
                     "recall": best.recall, "ndcg": best.ndcg,
                 },
+                write=primary,
             )
         if best.stop and respects_early_stop:
             logger.info("Early stop......")

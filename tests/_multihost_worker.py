@@ -81,12 +81,27 @@ def main():
         "NCL", data, config=ncl_cfg, seed=3, log_dir=None, echo=False, mesh=mesh
     )
 
+    # checkpoint leg: the host-gather in save_checkpoint is a collective
+    # (process_allgather of non-addressable leaves) — every process
+    # calls it, only the primary writes; resume re-places the loaded
+    # host arrays with the template's mesh shardings via global_put
+    ck_dir = out_path + ".ck"
+    train_model("LightGCN", data, config=Config({**dict(cfg.items()),
+                                                 "training_epochs": "1"}),
+                seed=3, log_dir=None, echo=False, mesh=mesh,
+                checkpoint_dir=ck_dir, checkpoint_every=1)
+    resumed = train_model("LightGCN", data, config=cfg, seed=3, log_dir=None,
+                          echo=False, mesh=mesh,
+                          checkpoint_dir=ck_dir, checkpoint_every=1)
+
     if distributed.is_primary():
         payload = {
             "losses": [float(h["loss"].split(" = ")[0]) for h in res.history],
             "recall": np.asarray(res.best.recall, np.float64).tolist(),
             "ndcg": np.asarray(res.best.ndcg, np.float64).tolist(),
             "ncl_losses": [float(h["loss"].split(" = ")[0]) for h in ncl.history],
+            "resumed_losses": [float(h["loss"].split(" = ")[0]) for h in resumed.history],
+            "resumed_recall": np.asarray(resumed.best.recall, np.float64).tolist(),
             "process_count": jax.process_count(),
         }
         with open(out_path, "w") as f:

@@ -72,3 +72,10 @@ def test_two_process_training_matches_single_process(tmp_path):
     # via global_put's on-device reshard branch under 2 processes
     np.testing.assert_allclose(multi["ncl_losses"], single["ncl_losses"],
                                rtol=5e-3, atol=1e-3)
+    # checkpoint/resume under 2 processes: the save's host-gather is a
+    # collective joined by every process; the resumed run's epoch-2 loss
+    # must equal the straight run's (same trajectory after reload)
+    np.testing.assert_allclose(multi["resumed_losses"][-1],
+                               multi["losses"][-1], rtol=2e-3, atol=1e-4)
+    np.testing.assert_allclose(multi["resumed_recall"], multi["recall"],
+                               atol=1e-6)
