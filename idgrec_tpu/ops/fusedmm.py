@@ -89,6 +89,13 @@ def _fused_kernel(m_ref, zi_ref, zu_ref, yu_ref, yi_ref, yi_acc, sem):
         copy.wait()
 
 
+def interpret_default() -> bool:
+    """Pallas kernels run interpreted off-TPU (CPU tests / dryrun)."""
+    import jax as _jax
+
+    return _jax.default_backend() not in ("tpu", "axon")
+
+
 def pick_row_tile(u_pad: int, default: int = TU) -> int | None:
     """Largest power-of-two row tile (≤ default) dividing u_pad, or None.
 
@@ -294,7 +301,10 @@ def fused_adj_matmul_int8(m8: jnp.ndarray, qu: jnp.ndarray, qi: jnp.ndarray,
     tu = pick_row_tile(u_pad)
     assert tu is not None, f"u_pad={u_pad} not a 128-multiple"
     if i_pad * d * 4 <= MAX_YI_VMEM_BYTES:
+        # the grid truncates (silently dropping columns) otherwise
+        assert i_pad % TI == 0, f"i_pad={i_pad} not a TI={TI} multiple"
         return _fused_small_call(m8, qu, qi, interpret, tu)
+    assert i_pad % PANEL == 0, f"i_pad={i_pad} not a PANEL={PANEL} multiple"
     grid = (i_pad // PANEL, u_pad // tu, PANEL // TI)
     yu, yi3 = pl.pallas_call(
         _fused_kernel_int8,
@@ -506,7 +516,10 @@ def fused_adj_matmul_int4(m4: jnp.ndarray, qu: jnp.ndarray, qi: jnp.ndarray,
     tu = pick_row_tile(u_pad)
     assert tu is not None, f"u_pad={u_pad} not a 128-multiple"
     if i_pad * d * 4 <= MAX_YI_VMEM_BYTES:
+        # the grid truncates (silently dropping columns) otherwise
+        assert i_pad % TI == 0, f"i_pad={i_pad} not a TI={TI} multiple"
         return _fused_int4_small_call(m4, qu, qi, interpret, tu)
+    assert i_pad % PANEL == 0, f"i_pad={i_pad} not a PANEL={PANEL} multiple"
     grid = (i_pad // PANEL, u_pad // tu, PANEL // TI)
     yu, yi3 = pl.pallas_call(
         _fused_kernel_int4,

@@ -737,6 +737,19 @@ class FusedSquareAdj:
             elif kernel_fits:
                 yu, yi = quant_fused_dual(self.m8, zi_p, zu_p, self.interpret)
             else:  # both accumulators over VMEM budget: XLA int8 matmuls
+                if self.quant == "int4":
+                    # trace-time warning (fires once per compile): the
+                    # fallback re-unpacks the nibble matrix EVERY
+                    # application, so int4's HBM saving is gone — int8
+                    # storage would be strictly better in this regime
+                    import logging
+
+                    logging.getLogger("idgrec_tpu").warning(
+                        "int4 adjacency exceeds both VMEM accumulator "
+                        "budgets (i_pad*d and u_pad*d too large) — "
+                        "falling back to per-application nibble unpack; "
+                        "prefer compute_dtype = int8 at this scale"
+                    )
                 m8 = (fusedmm.unpack_nibbles(self.m8)
                       if self.quant == "int4" else self.m8)
                 yu, yi = quant_dual_matmul(m8, zi_p, zu_p)
@@ -845,7 +858,7 @@ def _pack_pair(data: Dataset) -> tuple[jnp.ndarray, jnp.ndarray]:
 
 def _bitpack_interpret() -> bool:
     """Pallas kernels run interpreted off-TPU (CPU tests / dryrun)."""
-    return jax.default_backend() not in ("tpu", "axon")
+    return fusedmm.interpret_default()
 
 
 def build_adjacency(
@@ -888,6 +901,18 @@ def build_adjacency(
         if backend not in ("dense", "fused"):
             raise ValueError(
                 f"compute_dtype = {quant} requires the dense or fused backend"
+            )
+        if backend == "fused" and with_transpose:
+            # FusedSquareAdj has no matmul_rows/row3 pack — the caller's
+            # batch-rows optimization silently degrades to full-width
+            # products if we stay quiet about it
+            import logging
+
+            logging.getLogger("idgrec_tpu").warning(
+                "with_transpose (batch-rows partial propagation) is not "
+                "available on the quantized fused backend — full-width "
+                "products will be used; set compute_dtype = bfloat16 to "
+                "keep matmul_rows"
             )
     if backend == "gather":
         if variant == "sym":
@@ -962,6 +987,14 @@ def build_rect_adjacency(
     # int8 quantized path (identical numerics — nibble packing is a
     # storage optimization, not a precision change)
     quant = "int8" if quant == "int4" else quant
+    if backend == "fused":
+        # no single-sweep kernel exists for the rectangular shape — be
+        # explicit rather than silently building dense (the square
+        # builder's 'fused' means something real; here it would not)
+        raise ValueError(
+            "backend 'fused' applies to the square adjacency only; "
+            "rectangular R̃ supports auto|dense|gather|bitpack"
+        )
     backend = _select_backend(data, backend)
     if quant != "none" and backend != "dense":
         raise ValueError("compute_dtype = int8 requires the dense backend")
@@ -1042,7 +1075,7 @@ def build_dropout_adjacency(
     np.add.at(du, d_users, -1.0)
     np.add.at(di, d_items, -1.0)
 
-    def _sorted_pad(rows, cols, n_rows_total):
+    def _sorted_pad(rows, cols):
         order = np.argsort(rows, kind="stable")
         r, c = rows[order], cols[order]
         vals = np.ones(r.size, np.float32)
@@ -1053,8 +1086,8 @@ def build_dropout_adjacency(
             jnp.asarray(vals),
         )
 
-    du_rows, du_cols, du_vals = _sorted_pad(d_users, d_items, data.num_users)
-    di_rows, di_cols, di_vals = _sorted_pad(d_items, d_users, data.num_items)
+    du_rows, du_cols, du_vals = _sorted_pad(d_users, d_items)
+    di_rows, di_cols, di_vals = _sorted_pad(d_items, d_users)
     nu, ni = data.num_users, data.num_items
     scale_u = _inv_pow_vec(du, 0.5)
     scale_i = _inv_pow_vec(di, 0.5)

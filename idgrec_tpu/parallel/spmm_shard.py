@@ -44,6 +44,7 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from idgrec_tpu.ops import fusedmm
+from idgrec_tpu.ops.propagate import _pad_rows
 
 _MODEL_AXIS = "model"
 
@@ -90,16 +91,23 @@ def _local_dual_int8(m_k, qu_k, qi_all, interpret):
     the straight-through VJP). Kernel when accumulators fit, else XLA."""
     u_loc, i_pad = m_k.shape
     d = qi_all.shape[1]
-    kernel_fits = (
-        i_pad * d * 4 <= fusedmm.MAX_YI_VMEM_BYTES
-        or u_loc * d * 4 <= fusedmm.MAX_YU_VMEM_BYTES
+    # mirror fused_adj_matmul_int8's internal dispatch: the single-panel
+    # kernel (whole-yi VMEM accumulator) needs a TI-multiple column
+    # count — its grid i_pad//TI TRUNCATES otherwise, silently dropping
+    # the last columns; the panelized kernel needs a PANEL multiple and
+    # the yu accumulator budget. Dense-backend matrices are only
+    # 128-padded (propagate._pad_up), so both can fail here -> XLA.
+    small_fits = i_pad * d * 4 <= fusedmm.MAX_YI_VMEM_BYTES
+    kernel_ok = (
+        (small_fits and i_pad % fusedmm.TI == 0)
+        or (not small_fits and i_pad % fusedmm.PANEL == 0
+            and u_loc * d * 4 <= fusedmm.MAX_YU_VMEM_BYTES)
     )
-    panel_ok = i_pad % fusedmm.PANEL == 0 or i_pad * d * 4 <= fusedmm.MAX_YI_VMEM_BYTES
     # per-shard row count must admit a power-of-two row tile ≥ 128
     # (fusedmm.pick_row_tile) — wide model axes can leave a non-128
     # multiple (e.g. 31744/16 = 1984), which must fall back, not assert
     row_ok = u_loc % 128 == 0
-    if kernel_fits and panel_ok and row_ok:
+    if kernel_ok and row_ok:
         return fusedmm.fused_adj_matmul_int8(m_k, qu_k, qi_all, interpret)
     yu = jnp.matmul(m_k, qi_all, preferred_element_type=jnp.int32).astype(jnp.float32)
     yi = jax.lax.dot_general(
@@ -117,13 +125,15 @@ def _local_dual_int4(m_k, qu_k, qi_all, interpret):
     u_loc = m_k.shape[0]
     i_pad = 2 * m_k.shape[1]
     d = qi_all.shape[1]
-    kernel_fits = (
-        i_pad * d * 4 <= fusedmm.MAX_YI_VMEM_BYTES
-        or u_loc * d * 4 <= fusedmm.MAX_YU_VMEM_BYTES
+    # same dispatch mirror as _local_dual_int8 (grid-truncation guard)
+    small_fits = i_pad * d * 4 <= fusedmm.MAX_YI_VMEM_BYTES
+    kernel_ok = (
+        (small_fits and i_pad % fusedmm.TI == 0)
+        or (not small_fits and i_pad % fusedmm.PANEL == 0
+            and u_loc * d * 4 <= fusedmm.MAX_YU_VMEM_BYTES)
     )
-    panel_ok = i_pad % fusedmm.PANEL == 0 or i_pad * d * 4 <= fusedmm.MAX_YI_VMEM_BYTES
     row_ok = u_loc % 128 == 0
-    if kernel_fits and panel_ok and row_ok:
+    if kernel_ok and row_ok:
         return fusedmm.fused_adj_matmul_int4(m_k, qu_k, qi_all, interpret)
     m8 = fusedmm.unpack_nibbles(m_k)
     yu = jnp.matmul(m8, qi_all, preferred_element_type=jnp.int32).astype(jnp.float32)
@@ -172,7 +182,7 @@ def _quant_dual_sharded(mesh, interpret, bits, m8, zi, zu):
     qu, su = _quantize_cols(zu)
     local_fn = _local_dual_int4 if bits == "int4" else _local_dual_int8
     local = partial(local_fn, interpret=interpret)
-    yu, yi = _shard_dual(lambda m, a, b: local(m, a, b), mesh, m8, qu, qi)
+    yu, yi = _shard_dual(local, mesh, m8, qu, qi)
     return yu * si, yi * su
 
 
@@ -204,10 +214,6 @@ quant_sharded_dual.defvjp(_qsd_fwd, _qsd_bwd)
 # Full square-adjacency application under the mesh
 
 
-def _pad_rows_to(x, rows):
-    return jnp.pad(x, ((0, rows - x.shape[0]), (0, 0)))
-
-
 def sharded_square_matmul(adj, x, gate, mesh, *, kind):
     """Â @ x with the adjacency row-sharded over mesh's 'model' axis.
 
@@ -230,10 +236,16 @@ def sharded_square_matmul(adj, x, gate, mesh, *, kind):
         right_u, right_i = right_u * gu, right_i * gi
         left_u, left_i = left_u * gu, left_i * gi
 
-    zu = _pad_rows_to(right_u[:, None] * xu.astype(jnp.float32), u_pad)
-    zi = _pad_rows_to(right_i[:, None] * xi.astype(jnp.float32), i_pad)
+    zu = _pad_rows(right_u[:, None] * xu.astype(jnp.float32), u_pad)
+    zi = _pad_rows(right_i[:, None] * xi.astype(jnp.float32), i_pad)
 
-    interpret = getattr(adj, "interpret", False)
+    # DenseSquareAdj carries no interpret flag (single-chip dense never
+    # runs Pallas) — when ITS int8 path is promoted to the fused kernel
+    # here, derive the flag from the backend so CPU meshes (tests,
+    # dryrun_multichip) run interpreted instead of attempting Mosaic
+    interpret = getattr(adj, "interpret", None)
+    if interpret is None:
+        interpret = fusedmm.interpret_default()
     width = model_width(mesh)
     if adj.quant in ("int8", "int4"):
         m, zu, zi = _row_sharded(mesh, m, zu, zi)
@@ -366,7 +378,7 @@ def maybe_sharded_spmm(graph, x):
     width = model_width(mesh)
     n_rows_pad = _node_pad(graph.n_rows, width)
     n_cols_pad = _node_pad(graph.n_cols, width)
-    x_pad = _pad_rows_to(x, n_cols_pad)
+    x_pad = _pad_rows(x, n_cols_pad)
     y = _sharded_spmm(
         mesh, (n_rows_pad, n_cols_pad),
         graph.rows, graph.cols, graph.vals,

@@ -46,6 +46,10 @@ def _apply(adj, x, mesh):
 @pytest.mark.parametrize("backend,cdt", [
     ("dense", "bfloat16"),
     ("dense", "float32"),
+    # dense+int8: the matrix is only 128-padded (i_pad=384 here, NOT a
+    # TI=512 multiple) — the sharded path must take the XLA fallback,
+    # not the fused kernel whose grid would truncate columns
+    ("dense", "int8"),
     ("fused", "bfloat16"),
     ("fused", "int8"),
     ("fused", "int4"),
