@@ -54,6 +54,13 @@ def build_eval_plan(
         sorted(data.test_dict.keys()) if users is None else users, dtype=np.int64
     )
     n = test_users.size
+    if n == 0:
+        # fail loud at construction: a 0-user plan would divide metric
+        # sums by zero and early-stopping would silently run on NaNs
+        raise ValueError(
+            "evaluation requires at least one test user "
+            "(empty test split or empty users list)"
+        )
     nb = max(1, -(-n // batch_size))
     padded = nb * batch_size
 
@@ -67,27 +74,32 @@ def build_eval_plan(
     truth_flat[~valid] = -1
     t_width = truth_flat.shape[1]
 
-    # per-batch flat exclusion lists (train positives of batch users)
+    # per-batch flat exclusion lists (train positives of batch users),
+    # built with one O(nnz-of-batch-users) CSR scatter — the per-user
+    # Python loop this replaces cost minutes at ~1M-test-user scale
     degrees = np.diff(data.row_ptr)
     batch_users = users_pad.reshape(nb, batch_size)
     batch_valid = valid.reshape(nb, batch_size)
-    p_width = 0
-    for b in range(nb):
-        deg_sum = int(degrees[batch_users[b]][batch_valid[b]].sum())
-        p_width = max(p_width, deg_sum)
-    p_width = max(p_width, 1)
+    deg_pad = degrees[users_pad] * valid  # padded rows contribute 0
+    deg_b = deg_pad.reshape(nb, batch_size)
+    p_width = max(1, int(deg_b.sum(axis=1).max()))
 
     excl_rows = np.zeros((nb, p_width), dtype=np.int32)
     excl_cols = np.full((nb, p_width), data.num_items, dtype=np.int32)
-    for b in range(nb):
-        offset = 0
-        for r, u in enumerate(batch_users[b]):
-            if not batch_valid[b, r]:
-                continue
-            pos = data.positive_items(int(u))
-            excl_rows[b, offset : offset + pos.size] = r
-            excl_cols[b, offset : offset + pos.size] = pos
-            offset += pos.size
+    total = int(deg_pad.sum())
+    if total:
+        # within-batch start slot of each user's run = exclusive cumsum
+        start = (np.cumsum(deg_b, axis=1) - deg_b).reshape(-1)
+        within = np.arange(total) - np.repeat(
+            np.cumsum(deg_pad) - deg_pad, deg_pad
+        )
+        dst_b = np.repeat(np.arange(padded) // batch_size, deg_pad)
+        dst_slot = np.repeat(start, deg_pad) + within
+        src = np.repeat(data.row_ptr[users_pad], deg_pad) + within
+        excl_rows[dst_b, dst_slot] = np.repeat(
+            np.arange(padded) % batch_size, deg_pad
+        )
+        excl_cols[dst_b, dst_slot] = data.col_idx[src]
 
     return EvalPlan(
         users=jnp.asarray(batch_users),
@@ -139,8 +151,9 @@ class Evaluator:
                     self._consts, param_shardings(self._consts, mesh)
                 )
         self._sweep = jax.jit(self._sweep_impl)
+        self._repr = jax.jit(self._repr_impl)
 
-    def _sweep_impl(self, params, state, ctx, rng, users, valid, truth, excl_rows, excl_cols, consts):
+    def _repr_impl(self, params, state, ctx, rng, consts):
         from idgrec_tpu.parallel.mesh import use_mesh
 
         if self.pad_meta is not None:
@@ -149,7 +162,20 @@ class Evaluator:
             params = padding.unpad_tree(params, self.pad_meta[0])
             state = padding.unpad_tree(state, self.pad_meta[1])
         with use_mesh(self.mesh), self.model.bound_constants(consts):
-            return self._sweep_body(params, state, ctx, rng, users, valid, truth, excl_rows, excl_cols)
+            return self.model.eval_embeddings(params, state, ctx, rng)
+
+    def compute_repr(self, params, state, ctx, rng):
+        """The model representation used for scoring, computed once per
+        sweep. Shareable across Evaluators of the same model (the
+        sparsity quartile evaluators reuse one propagation instead of
+        re-running it per group)."""
+        return self._repr(params, state, ctx, rng, self._consts)
+
+    def _sweep_impl(self, eval_repr, users, valid, truth, excl_rows, excl_cols, consts):
+        from idgrec_tpu.parallel.mesh import use_mesh
+
+        with use_mesh(self.mesh), self.model.bound_constants(consts):
+            return self._sweep_body(eval_repr, users, valid, truth, excl_rows, excl_cols)
 
     def _topk_items_sharded(self, ratings: jnp.ndarray) -> jnp.ndarray:
         """Distributed top-k with the item axis kept sharded — the
@@ -168,9 +194,7 @@ class Evaluator:
 
         return items_sharded(self.mesh)
 
-    def _sweep_body(self, params, state, ctx, rng, users, valid, truth, excl_rows, excl_cols):
-        eval_repr = self.model.eval_embeddings(params, state, ctx, rng)
-
+    def _sweep_body(self, eval_repr, users, valid, truth, excl_rows, excl_cols):
         def one_batch(sums, batch):
             b_users, b_valid, b_truth, b_rows, b_cols = batch
             ratings = self.model.score_batch(eval_repr, b_users)
@@ -198,10 +222,16 @@ class Evaluator:
         )
         return sums
 
-    def evaluate(self, params, state, ctx, rng) -> dict[str, np.ndarray]:
+    def evaluate(self, params, state, ctx, rng,
+                 eval_repr=None) -> dict[str, np.ndarray]:
+        """Full-catalog metrics. Pass ``eval_repr`` (from
+        ``compute_repr``) to reuse one representation across several
+        evaluators (sparsity quartiles) instead of re-propagating."""
         p = self.plan
+        if eval_repr is None:
+            eval_repr = self.compute_repr(params, state, ctx, rng)
         sums = self._sweep(
-            params, state, ctx, rng, p.users, p.valid, p.truth, p.excl_rows, p.excl_cols,
+            eval_repr, p.users, p.valid, p.truth, p.excl_rows, p.excl_cols,
             self._consts,
         )
         n = float(p.num_test_users)

@@ -222,9 +222,12 @@ def train_model(
             rng, eval_key = jax.random.split(rng)
             if sparsity_mode:
                 # reference sparsity path (batch_test.py:26-32): log all
-                # quartile levels, track best on level 1
+                # quartile levels, track best on level 1 — ONE
+                # propagation shared across the quartile evaluators
+                rep = evaluators[0].compute_repr(params, state, ctx, eval_key)
                 results = [
-                    ev.evaluate(params, state, ctx, eval_key) for ev in evaluators
+                    ev.evaluate(params, state, ctx, eval_key, eval_repr=rep)
+                    for ev in evaluators
                 ]
                 for level, res in enumerate(results, start=1):
                     logger.info(

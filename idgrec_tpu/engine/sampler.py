@@ -20,7 +20,6 @@ Also provides `sample_random_users` mirroring the reference's
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -38,7 +37,7 @@ def _membership(
 
     def body(_, carry):
         lo, hi = carry
-        mid = (lo + hi) // 2
+        mid = lo + (hi - lo) // 2  # (lo+hi)//2 overflows int32 past ~1e9 nnz
         mid_val = col_idx[jnp.clip(mid, 0, col_idx.shape[0] - 1)]
         go_right = (mid_val < cand) & (lo < hi)
         new_lo = jnp.where(go_right, mid + 1, lo)

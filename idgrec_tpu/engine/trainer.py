@@ -26,8 +26,6 @@ effect on the trajectory is noise-level.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -92,6 +90,12 @@ class EpochRunner:
         runs, so training numerics are unchanged."""
         if self.mesh is None:
             return params, opt_state, state
+        if self.pad_meta is not None:
+            # a second call would rebuild pad_meta from ALREADY-PADDED
+            # leaves (all 128-multiples -> identity meta), after which
+            # unpad() would leak zero pad rows into epoch_context and
+            # results — fail loud instead
+            raise RuntimeError("EpochRunner.shard() was already called")
         from idgrec_tpu.parallel import padding
         from idgrec_tpu.parallel.mesh import global_put, param_shardings
 

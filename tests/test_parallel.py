@@ -177,8 +177,9 @@ def test_sharded_items_eval_matches_replicated():
     import re
 
     p = ev_mesh.plan
+    rep = ev_mesh.compute_repr(params, {}, (), rng)
     compiled = jax.jit(ev_mesh._sweep_impl).lower(
-        params, {}, (), rng, p.users, p.valid, p.truth, p.excl_rows, p.excl_cols,
+        rep, p.users, p.valid, p.truth, p.excl_rows, p.excl_cols,
         model.constants(),
     ).compile().as_text()
     k = ev_mesh.max_k
