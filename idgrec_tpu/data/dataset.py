@@ -106,9 +106,10 @@ def _csr_from_pairs(users: np.ndarray, items: np.ndarray, num_users: int) -> tup
         uu = u
         ii = i
         vals = np.zeros(0, dtype=np.float32)
-    row_ptr = np.zeros(num_users + 1, dtype=np.int64)
-    np.add.at(row_ptr, uu + 1, 1)
-    row_ptr = np.cumsum(row_ptr)
+    # bincount beats the buffered-ufunc np.add.at by >10x at
+    # million-edge scale
+    counts = np.bincount(uu, minlength=num_users) if uu.size else np.zeros(num_users, np.int64)
+    row_ptr = np.concatenate([[0], np.cumsum(counts)])
     return row_ptr.astype(np.int32), ii.astype(np.int32), vals
 
 
@@ -153,7 +154,10 @@ class Dataset:
         _, train_user, train_item, pos_length = _parse_interaction_file(train_path)
         _, test_user, test_item, _ = _parse_interaction_file(test_path)
 
-        # max-id+1 over both files (data_loader.py:31-36,62-63)
+        # max-id+1 over both files, computed from INTERACTING pairs
+        # only — the reference's itemless-line `continue` comes BEFORE
+        # its max-id update (data_loader.py:58-63), so a uid with no
+        # items never raises num_users there either
         num_users = 0
         num_items = 0
         for u_arr, i_arr in ((train_user, train_item), (test_user, test_item)):

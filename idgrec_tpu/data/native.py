@@ -6,6 +6,14 @@ fill, bit packing. Every entry point has a numpy fallback so the
 framework works without a toolchain; `available()` reports which path
 is active and tests assert native/Python equivalence.
 
+Scanner assumption: the native ratings parser emits (user, item)
+pairs and the caller reconstructs per-line structure from uid run
+lengths — exact for the reference export format (one line per user).
+A malformed file with the SAME uid on two adjacent lines would
+collapse into one run here while the Python fallback keeps two
+pos_length entries; interaction pairs (what training consumes) are
+identical either way.
+
 The library is built on first use with g++ (cached beside the source);
 set ``IDGREC_NO_NATIVE=1`` to force the Python fallbacks.
 """

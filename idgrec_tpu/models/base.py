@@ -220,6 +220,11 @@ def lightgcn_propagate(
     (models/LightGCN.py:36-52); SimGCL drops layer 0
     (models/SimGCL.py:44-53); BIGCF/MixRec/EGCF use reduce='sum'.
     """
+    if num_layers == 0 and not include_layer0:
+        raise ValueError(
+            "num_layers=0 with include_layer0=False leaves no embeddings "
+            "to combine (GCN_layer must be >= 1 for this model)"
+        )
     layers = []
     if include_layer0:
         layers.append(emb0)

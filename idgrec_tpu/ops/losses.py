@@ -154,37 +154,6 @@ def neighbor_aggregate_loss(emb_1: jnp.ndarray, emb_2: jnp.ndarray, tau: float) 
     return jnp.mean(-jnp.log(pos_score / ttl_score + _INFONCE_EPS))
 
 
-def sccf_loss(
-    user_e: jnp.ndarray,
-    pos_e: jnp.ndarray,
-    unique_user_e: jnp.ndarray,
-    unique_item_e: jnp.ndarray,
-    user_counts: jnp.ndarray,
-    item_counts: jnp.ndarray,
-    temperature: float,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """SCCF's contrastive objective (models/SCCF.py:60-80).
-
-    Returns the two loss terms (-up, down) of the reference:
-    ``up`` the positive-pair term over interactions, ``down`` the
-    count-weighted all-pairs term over unique batch users × items.
-    ``*_counts`` may carry zero rows for padding; they simply weight 0.
-    """
-    user_e = _normalize(_f32(user_e))
-    pos_e = _normalize(_f32(pos_e))
-    ip = jnp.sum(user_e * pos_e, axis=1)
-    up_score = jnp.exp(ip / temperature) + jnp.exp(ip**2 / temperature)
-    up = jnp.mean(jnp.log(up_score))
-
-    uu = _normalize(_f32(unique_user_e))
-    ii = _normalize(_f32(unique_item_e))
-    sim = _matmul(uu, ii.T)
-    score = jnp.exp(sim / temperature) + jnp.exp(sim**2 / temperature)
-    weights = user_counts.reshape(-1, 1).astype(jnp.float32) @ item_counts.reshape(1, -1).astype(jnp.float32)
-    down = jnp.log(jnp.mean(score * weights))
-    return -up, down
-
-
 def lightcscf_loss(
     emb_1: jnp.ndarray, emb_2: jnp.ndarray, temperature: float, margin: float
 ) -> jnp.ndarray:

@@ -1067,13 +1067,11 @@ def build_dropout_adjacency(
     d_users = users[dropped]
     d_items = items[dropped]
 
+    # per-epoch hot path: bincount beats np.add.at by >10x at scale
     du_bin = np.diff(data.row_ptr).astype(np.float64)
-    di_bin = np.zeros(data.num_items, np.float64)
-    np.add.at(di_bin, items, 1.0)
-    du = du_bin.copy()
-    di = di_bin.copy()
-    np.add.at(du, d_users, -1.0)
-    np.add.at(di, d_items, -1.0)
+    di_bin = np.bincount(items, minlength=data.num_items).astype(np.float64)
+    du = du_bin - np.bincount(d_users, minlength=data.num_users)
+    di = di_bin - np.bincount(d_items, minlength=data.num_items)
 
     def _sorted_pad(rows, cols):
         order = np.argsort(rows, kind="stable")

@@ -133,29 +133,6 @@ def test_lightcscf_loss(rng):
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=1e-5)
 
 
-def test_sccf_loss(rng):
-    u = rng.normal(size=(16, 6)).astype(np.float32)
-    p = rng.normal(size=(16, 6)).astype(np.float32)
-    uu = rng.normal(size=(5, 6)).astype(np.float32)
-    ii = rng.normal(size=(7, 6)).astype(np.float32)
-    uc = rng.integers(1, 4, 5).astype(np.float32)
-    ic = rng.integers(1, 4, 7).astype(np.float32)
-    tau = 0.1
-    neg_up, down = losses.sccf_loss(
-        jnp.asarray(u), jnp.asarray(p), jnp.asarray(uu), jnp.asarray(ii),
-        jnp.asarray(uc), jnp.asarray(ic), tau,
-    )
-    un, pn = _norm(u), _norm(p)
-    ip = (un * pn).sum(1)
-    want_up = np.mean(np.log(np.exp(ip / tau) + np.exp(ip**2 / tau)))
-    uun, iin = _norm(uu), _norm(ii)
-    sim = uun @ iin.T
-    score = np.exp(sim / tau) + np.exp(sim**2 / tau)
-    want_down = np.log((score * np.outer(uc, ic)).mean())
-    np.testing.assert_allclose(float(neg_up), -want_up, rtol=5e-4, atol=1e-5)
-    np.testing.assert_allclose(float(down), want_down, rtol=5e-4, atol=1e-5)
-
-
 def test_margin_alignment_loss(rng):
     x = rng.normal(size=(12, 6)).astype(np.float32)
     y = rng.normal(size=(12, 6)).astype(np.float32)
