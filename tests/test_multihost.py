@@ -37,7 +37,7 @@ def _env():
     return env
 
 
-def _run_cluster(nproc: int, local_devices: int, out_path: str):
+def _run_cluster(nproc: int, local_devices: int, out_path: str, _retry: bool = True):
     coord = f"127.0.0.1:{_free_port()}"
     procs = [
         subprocess.Popen(
@@ -52,6 +52,13 @@ def _run_cluster(nproc: int, local_devices: int, out_path: str):
     for p in procs:
         out, _ = p.communicate(timeout=900)
         outs.append(out.decode(errors="replace"))
+    if any(p.returncode != 0 for p in procs):
+        # coordination-service barrier timeouts are a pure load artifact
+        # (a saturated host makes one worker too slow for the shutdown
+        # barrier) — retry once; real failures reproduce and still fail
+        joined = "\n".join(outs)
+        if _retry and ("Barrier timed out" in joined or "Shutdown barrier" in joined):
+            return _run_cluster(nproc, local_devices, out_path, _retry=False)
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker rc={p.returncode}\n{out[-4000:]}"
     with open(out_path) as f:
