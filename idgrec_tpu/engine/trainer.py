@@ -100,13 +100,20 @@ class EpochRunner:
         from idgrec_tpu.parallel.mesh import global_put, param_shardings
 
         width = self.mesh.shape["model"]
+        # pad exactly the node tables (and their optimizer twins):
+        # leaves sized by users/items — small dense weights stay at
+        # natural shape (replicated) rather than padded + row-sharded
+        node_rows = {
+            self.model.num_users, self.model.num_items,
+            self.model.num_users + self.model.num_items,
+        }
         self.pad_meta = (
-            padding.build_meta(params, width),
-            padding.build_meta(state, width),
+            padding.build_meta(params, width, node_rows),
+            padding.build_meta(state, width, node_rows),
         )
         params = padding.pad_tree(params, self.pad_meta[0])
         opt_state = padding.pad_tree(
-            opt_state, padding.build_meta(opt_state, width)
+            opt_state, padding.build_meta(opt_state, width, node_rows)
         )
         state = padding.pad_tree(state, self.pad_meta[1])
         params = global_put(params, param_shardings(params, self.mesh))

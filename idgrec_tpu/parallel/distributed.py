@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import jax
 
-_initialized = False
+_initialized: str | None = None  # None | "local" | "cluster"
 
 
 def initialize(coordinator_address: str | None = None,
@@ -33,33 +33,42 @@ def initialize(coordinator_address: str | None = None,
                process_id: int | None = None) -> None:
     """Idempotent `jax.distributed.initialize` wrapper.
 
-    No-op when the runtime is already initialized or when running
-    single-process (initialize() with no TPU metadata raises — that
-    case is caught and treated as single-process)."""
+    No-op when the cluster runtime is already joined, or when
+    autodetection finds no cluster metadata (single-process). An
+    EXPLICIT call after a local fallback still attempts the join — a
+    silent no-op there would leave the peer hosts blocked forever."""
     global _initialized
-    if _initialized:
+    if _initialized == "cluster":
         return
     explicit = (
         coordinator_address is not None
         or num_processes is not None
         or process_id is not None
     )
+    if _initialized == "local" and not explicit:
+        return
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (ValueError, RuntimeError):
-        if explicit:
-            # the caller named a cluster: failing to join it must NOT
-            # silently degrade to N independent single-process runs
-            # (every host would claim process_index 0 and fight over
-            # logs/checkpoints while collectives hang)
+    except (ValueError, RuntimeError) as e:
+        benign = (
+            "coordinator_address" in str(e)  # no cluster metadata found
+            or "must be called before" in str(e)  # backend already up
+        )
+        if explicit or not benign:
+            # the caller named a cluster, or metadata WAS detected and
+            # the join genuinely failed (e.g. a barrier timeout):
+            # silently degrading to N independent single-process runs
+            # (every host claiming process_index 0, fighting over
+            # logs/checkpoints while collectives hang) is the one
+            # unacceptable outcome
             raise
-        # autodetection found no coordinator metadata: single-process
-        # environment — jax.devices() covers the local chips
-    _initialized = True
+        _initialized = "local"
+        return
+    _initialized = "cluster"
 
 
 def process_count() -> int:

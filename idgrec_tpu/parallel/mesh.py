@@ -68,17 +68,46 @@ def make_mesh(
     n = n_devices if n_devices is not None else len(devices)
     devices = devices[:n]
     if data_parallel is None:
+        # non-power-of-two counts break the sharding stack's contracts
+        # (parallel/padding.py pads rows to 128-multiples, shardable on
+        # 'any power-of-two model axis'; batch sizes are powers of two
+        # for the data axis) — use the largest power-of-two subset
+        n2 = 1 << (n.bit_length() - 1)
+        if n2 != n:
+            import logging
+
+            logging.getLogger("idgrec_tpu").warning(
+                "device count %d is not a power of two — using %d "
+                "devices (the sharding layout needs power-of-two axes)",
+                n, n2,
+            )
+            n = n2
+            devices = devices[:n]
         data_parallel = 1
         while data_parallel * 2 <= math.isqrt(n) and n % (data_parallel * 2) == 0:
             data_parallel *= 2
-        if n % data_parallel != 0:
-            data_parallel = 1
     elif data_parallel <= 0 or n % data_parallel != 0:
         raise ValueError(
             f"data_parallel={data_parallel} must be positive and divide "
             f"the device count ({n})"
         )
     model_parallel = n // data_parallel
+    if model_parallel & (model_parallel - 1):
+        # explicit data_parallel left a non-power-of-two model axis:
+        # tables would silently replicate (padding contract) and
+        # spmm_shard would fall back single-chip — shrink to the
+        # largest power-of-two divisor instead of a no-op sharding
+        pow2 = 1 << (model_parallel.bit_length() - 1)
+        import logging
+
+        logging.getLogger("idgrec_tpu").warning(
+            "model axis %d is not a power of two — tables would "
+            "replicate (parallel/padding.py contract); using %d of the "
+            "%d devices (mesh %dx%d)",
+            model_parallel, data_parallel * pow2, n, data_parallel, pow2,
+        )
+        model_parallel = pow2
+        devices = devices[: data_parallel * model_parallel]
     mesh_devices = np.asarray(devices).reshape(data_parallel, model_parallel)
     return Mesh(mesh_devices, axis_names=("data", "model"))
 
@@ -109,11 +138,25 @@ def global_put(tree, shardings):
             # from sharded params, NCL's k-means outputs): np.asarray
             # would raise on non-addressable shards — reshard on device
             # via a jitted identity (XLA inserts the collectives)
-            return jax.jit(lambda a: a, out_shardings=s)(x)
+            return _identity_restage(s)(x)
         arr = np.asarray(x)
         return jax.make_array_from_callback(arr.shape, s, lambda idx: arr[idx])
 
     return jax.tree.map(place, tree, shardings)
+
+
+_RESTAGE_CACHE: dict = {}
+
+
+def _identity_restage(sharding):
+    """Memoized jitted identity per target sharding — a fresh
+    ``jax.jit(lambda a: a, ...)`` per call would defeat the jit cache
+    (keyed on the function object) and re-lower every epoch."""
+    fn = _RESTAGE_CACHE.get(sharding)
+    if fn is None:
+        fn = jax.jit(lambda a: a, out_shardings=sharding)
+        _RESTAGE_CACHE[sharding] = fn
+    return fn
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -34,19 +34,24 @@ def _pad_to(n: int) -> int:
 _NO_PAD = -1  # meta sentinel: leaf stored at its natural shape
 
 
-def build_meta(tree, model_width: int):
+def build_meta(tree, model_width: int, node_rows=None):
     """Pytree matching `tree` with the TRUE row count for every leaf
-    that is stored padded (2-D, at least 2·width rows, not already a
-    128-multiple), else the _NO_PAD sentinel (kept an int so the meta
-    tree has the same structure as the data tree)."""
+    that is stored padded, else the _NO_PAD sentinel (kept an int so
+    the meta tree has the same structure as the data tree).
+
+    ``node_rows``: when given (a set of row counts — num_users,
+    num_items, their sum), ONLY leaves whose leading dim matches are
+    padded; this keeps small dense weight matrices (e.g. HCCF's
+    [d, hyper] tables) at natural shape instead of wastefully padding
+    and row-sharding them. Without it, the size heuristic pads any 2-D
+    leaf with at least 2·width rows."""
 
     def leaf(x):
-        if (
-            hasattr(x, "ndim")
-            and x.ndim == 2
-            and x.shape[0] >= 2 * model_width
-            and x.shape[0] % _PAD != 0
-        ):
+        if not (hasattr(x, "ndim") and x.ndim == 2 and x.shape[0] % _PAD != 0):
+            return _NO_PAD
+        if node_rows is not None:
+            return x.shape[0] if x.shape[0] in node_rows else _NO_PAD
+        if x.shape[0] >= 2 * model_width:
             return x.shape[0]
         return _NO_PAD
 

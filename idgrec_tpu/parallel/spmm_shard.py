@@ -331,10 +331,14 @@ def _sharded_spmm_impl(mesh, n_rows_pad, rows, cols, vals, x):
 
     spec_e = P(_MODEL_AXIS)
     spec_x = P(_MODEL_AXIS, None)
-    return jax.shard_map(
+    y = jax.shard_map(
         body, mesh=mesh, in_specs=(spec_e, spec_e, spec_e, spec_x),
         out_specs=spec_x, check_vma=False,
     )(rows, cols, vals, x)
+    # match the single-chip contract (ops/spmm.py: f32 accumulation,
+    # output in x's dtype) — also keeps the custom-VJP cotangent dtype
+    # equal to the primal's for bf16 embeddings
+    return y.astype(x.dtype)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1))

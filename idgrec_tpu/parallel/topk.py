@@ -24,7 +24,10 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 _MODEL_AXIS = "model"
-_PAD_VALUE = -1e9
+# strictly BELOW the evaluator/serving mask value (-1e9): approx_max_k
+# gives no tie-order guarantee, so a pad column tying with masked items
+# could surface fabricated item ids >= num_items
+_PAD_VALUE = -2e9
 
 
 def items_sharded(mesh) -> bool:

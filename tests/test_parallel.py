@@ -298,3 +298,15 @@ def test_training_step_collective_structure(model_width):
     if mesh.shape["data"] > 1:
         # data-parallel gradient reduction must be present
         assert re.search(r"all-reduce", compiled), f"model={model_width}"
+
+
+def test_make_mesh_non_power_of_two_model_axis_shrinks():
+    """6 devices would yield model=3 (or 6), which the 128-multiple
+    padding contract cannot shard (tables would silently replicate) —
+    make_mesh must shrink the model axis to its largest power-of-two
+    divisor instead."""
+    mesh = make_mesh(6)
+    m = mesh.shape["model"]
+    assert m & (m - 1) == 0 and m > 1, mesh.shape
+    mesh = make_mesh(6, data_parallel=2)  # model would be 3
+    assert mesh.shape["model"] == 2 and mesh.shape["data"] == 2

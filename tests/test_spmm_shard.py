@@ -333,3 +333,30 @@ def test_make_mesh_rejects_bad_data_parallel():
         make_mesh(8, data_parallel=3)
     with pytest.raises(ValueError, match="data_parallel"):
         make_mesh(8, data_parallel=16)
+
+
+def test_sharded_gather_gradient_bf16_embeddings():
+    """bf16 activations through the sharded gather path: the custom
+    VJP's cotangent must carry the PRIMAL's dtype (f32 accumulation,
+    output cast back — the ops/spmm.py contract); an f32 dx against a
+    bf16 primal is a hard custom_vjp aval mismatch under jit."""
+    adj = build_adjacency(DATA, "sym", "gather")
+    xb = X.astype(jnp.bfloat16)
+    tgt = jnp.asarray(
+        np.random.default_rng(5).normal(size=X.shape).astype(np.float32)
+    )
+
+    def loss(adj, x):
+        return jnp.sum(adj.matmul(x).astype(jnp.float32) * tgt)
+
+    want = np.asarray(jax.grad(loss, argnums=1)(adj, xb), np.float32)
+    mesh = _mesh(model=4)
+
+    @jax.jit
+    def g(adj, x):
+        with use_mesh(mesh):
+            return jax.grad(loss, argnums=1)(adj, x)
+
+    got = np.asarray(g(adj, xb), np.float32)
+    assert got.dtype == want.dtype
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
