@@ -58,7 +58,12 @@ def _run_cluster(nproc: int, local_devices: int, out_path: str, _retry: bool = T
         # barrier) — retry once; real failures reproduce and still fail
         joined = "\n".join(outs)
         if _retry and ("Barrier timed out" in joined or "Shutdown barrier" in joined):
-            return _run_cluster(nproc, local_devices, out_path, _retry=False)
+            # fresh out_path: the worker derives its checkpoint dir from
+            # it (out_path + ".ck"), and a first attempt that timed out
+            # AFTER training may have left a completed ckpt_2 behind —
+            # the retry's resume leg would then train zero epochs
+            return _run_cluster(nproc, local_devices, out_path + ".retry",
+                                _retry=False)
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker rc={p.returncode}\n{out[-4000:]}"
     with open(out_path) as f:
