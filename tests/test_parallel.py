@@ -237,6 +237,49 @@ def test_is_primary_single_process():
     assert distributed.is_primary() is True
 
 
+def test_initialize_state_machine(monkeypatch):
+    """The tri-state init wrapper (None | 'local' | 'cluster'):
+    benign autodetect misses fall back to local exactly once, an
+    EXPLICIT join after a local fallback is still attempted (a silent
+    no-op would leave peer hosts blocked on the coordination barrier),
+    and non-benign failures always propagate."""
+    from idgrec_tpu.parallel import distributed
+
+    calls = []
+
+    def fake_init(coordinator_address=None, num_processes=None, process_id=None):
+        calls.append(coordinator_address)
+        if coordinator_address is None:
+            raise ValueError("coordinator_address should be defined")
+        if coordinator_address == "bad:1":
+            raise RuntimeError("Barrier timed out")
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+    monkeypatch.setattr(distributed, "_initialized", None)
+
+    distributed.initialize()  # benign miss -> local
+    distributed.initialize()  # local + autodetect -> cached no-op
+    assert calls == [None]
+
+    with pytest.raises(RuntimeError, match="Barrier"):
+        distributed.initialize("bad:1", 2, 0)  # explicit failure raises
+    assert calls == [None, "bad:1"]
+
+    distributed.initialize("good:1", 2, 0)  # explicit join after local
+    distributed.initialize("good:1", 2, 0)  # cluster -> no-op
+    distributed.initialize()  # cluster -> no-op
+    assert calls == [None, "bad:1", "good:1"]
+
+    # non-benign autodetect failure (metadata found, join failed) raises
+    monkeypatch.setattr(distributed, "_initialized", None)
+    monkeypatch.setattr(
+        jax.distributed, "initialize",
+        lambda **kw: (_ for _ in ()).throw(RuntimeError("Barrier timed out")),
+    )
+    with pytest.raises(RuntimeError, match="Barrier"):
+        distributed.initialize()
+
+
 def test_int8_auto_keeps_fused_kernel_on_multidevice():
     """With >1 device visible (8 virtual CPU devices here), auto+int8
     keeps the Pallas fused kernel: the explicit shard_map path
