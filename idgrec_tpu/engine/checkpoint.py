@@ -116,15 +116,31 @@ def load_checkpoint(directory: str, epoch: int, template):
         a = np.asarray(a, dtype=t_dtype)
         if a.shape == t_shape:
             return a
-        if a.ndim == len(t_shape) and all(
-            sa >= st for sa, st in zip(a.shape, t_shape)
-        ):
-            # padded-storage checkpoint (mesh training pads table rows
-            # to 128-multiples, parallel/padding.py) loaded into a
-            # true-shape template — e.g. serving single-chip from a
-            # mesh-trained run: the real rows are the leading block
-            return a[tuple(slice(0, s) for s in t_shape)]
-        return a.reshape(t_shape)
+        if a.ndim == len(t_shape) and a.shape[1:] == t_shape[1:]:
+            # padded-storage row counts (mesh training pads table rows
+            # to 128-multiples, parallel/padding.py) differ ONLY in the
+            # leading dim; trailing dims differing means a genuinely
+            # incompatible checkpoint (e.g. another embedding_size) —
+            # silently slicing those would load truncated garbage
+            if a.shape[0] > t_shape[0]:
+                # padded checkpoint into a true-shape template, e.g.
+                # serving single-chip from a mesh-trained run: the real
+                # rows are the leading block
+                return a[: t_shape[0]]
+            # true-shape checkpoint into a padded template (single-chip
+            # run resumed on a mesh): pad rows are zeros by the
+            # pad_tree contract
+            pad = np.zeros((t_shape[0] - a.shape[0],) + t_shape[1:], t_dtype)
+            return np.concatenate([a, pad], axis=0)
+        if a.size == int(np.prod(t_shape)):
+            # pure rank difference of the same data (e.g. () vs (1,))
+            return a.reshape(t_shape)
+        raise ValueError(
+            f"checkpoint leaf shape {a.shape} is incompatible with the "
+            f"template's {t_shape} — was the run configuration "
+            f"(embedding_size / layers / dataset) changed since the "
+            f"checkpoint was written?"
+        )
 
     restored = [_fit(a, t) for a, t in zip(arrays, leaves)]
     tree = jax.tree.unflatten(treedef, restored)

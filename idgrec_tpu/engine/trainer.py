@@ -54,6 +54,14 @@ class EpochRunner:
         self.model = model
         self.mesh = mesh
         self.batch_size = int(batch_size)
+        if mesh is not None and self.batch_size % mesh.shape["data"] != 0:
+            # caught here with a clear message instead of an opaque
+            # uneven-sharding device_put failure on the first epoch
+            raise ValueError(
+                f"batch_size ({self.batch_size}) must be divisible by "
+                f"the mesh's data axis ({mesh.shape['data']}) — pick a "
+                f"divisible batch_size or a different --data_parallel"
+            )
         self.num_train = int(num_train)
         self.num_batches = max(1, -(-self.num_train // self.batch_size))
         self.opt = optimizer or optax.adam(learn_rate, b1=0.9, b2=0.999, eps=1e-8)
@@ -75,6 +83,13 @@ class EpochRunner:
             self._consts = global_put(
                 self._consts, param_shardings(self._consts, mesh)
             )
+            # rebind the PLACED constants onto the model: host-side
+            # epoch_context (e.g. SGL embedding its shared binary
+            # matrix into every epoch's dropout views) then reuses the
+            # mesh-placed arrays, and place_ctx's global_put skips
+            # them instead of re-replicating gigabytes each epoch
+            for k, v in self._consts.items():
+                setattr(model, k, v)
         self._prepare = jax.jit(self._prepare_impl)
         self._segment = jax.jit(self._segment_impl, donate_argnums=(0, 1, 2))
 

@@ -61,13 +61,9 @@ class SGL(RecModel):
         # dropout builders can never split their backend selection
         from idgrec_tpu.ops.propagate import resolve_backend
 
-        was_auto = self.backend == "auto"
-        self.backend = resolve_backend(data, self.backend, copies=2)
-        if was_auto and self.backend == "dense" and self.compute_dtype == "int8":
-            # keep build_adjacency's auto+int8 upgrade to the fused
-            # single-sweep kernel (the dropout builders treat dense and
-            # fused identically)
-            self.backend = "fused"
+        self.backend = resolve_backend(
+            data, self.backend, copies=2, compute_dtype=self.compute_dtype
+        )
         self.graph = build_adjacency(data, "sym", self.backend, compute_dtype=self.compute_dtype)
         # shared matrix state for dropout views (uploaded once)
         self._m_bin = build_dropout_shared(data, self.backend)

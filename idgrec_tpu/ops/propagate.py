@@ -822,14 +822,32 @@ def _split_quant(compute_dtype: str) -> tuple[str, str]:
     return compute_dtype, "none"
 
 
-def resolve_backend(data: Dataset, backend: str, copies: int = 1) -> str:
+def resolve_backend(data: Dataset, backend: str, copies: int = 1,
+                    compute_dtype: str | None = None) -> str:
     """Public 'auto' resolution. Models that keep SEVERAL dense
     matrices resident (e.g. SGL: main adjacency + the dropout-shared
     binary matrix) must resolve ONCE with the total copy count and pass
     the concrete backend to every builder — resolving independently per
     builder could split the selection (main dense, dropout gather) and
-    break invariants like SGL's shared-chain batching."""
-    return _select_backend(data, backend, copies=copies)
+    break invariants like SGL's shared-chain batching.
+
+    When ``compute_dtype`` is given, the quantized-mode upgrades are
+    applied here too (single owner — build_adjacency and model-side
+    resolution must never disagree): auto-selected dense upgrades to
+    the single-sweep fused Pallas kernel for any quantized mode (one M
+    read + int8 MXU dots; under a mesh the explicit shard_map path
+    runs the same kernel per row shard), and int4 upgrades
+    unconditionally (the nibble-packed matrix only has fused kernels).
+    """
+    requested = backend
+    backend = _select_backend(data, backend, copies=copies)
+    if compute_dtype is not None:
+        _, quant = _split_quant(compute_dtype)
+        if quant != "none" and backend == "dense" and (
+            requested == "auto" or quant == "int4"
+        ):
+            backend = "fused"
+    return backend
 
 
 def _select_backend(data: Dataset, backend: str, copies: int = 1) -> str:
@@ -883,21 +901,16 @@ def build_adjacency(
     or 'int8' (dense backend only: per-column-quantized activations on
     the int8 MXU, straight-through gradients — see quant_dual_matmul).
     """
+    full_dtype = compute_dtype
     compute_dtype, quant = _split_quant(compute_dtype)
-    requested = backend
-    # with_transpose stores M plus the 3-byte-packed row pair (~2x M)
-    backend = _select_backend(data, backend, copies=3 if with_transpose else 1)
+    # with_transpose stores M plus the 3-byte-packed row pair (~2x M);
+    # resolve_backend owns the quantized-mode upgrades (auto->fused,
+    # int4->fused) so model-side resolution can never disagree
+    backend = resolve_backend(
+        data, backend, copies=3 if with_transpose else 1,
+        compute_dtype=full_dtype,
+    )
     if quant != "none":
-        if requested == "auto" and backend == "dense":
-            # the single-sweep int8 Pallas kernel is the fastest
-            # quantized path (one M read + int8 MXU dots). Under a
-            # mesh the explicit shard_map path (parallel/spmm_shard.py)
-            # runs the same kernel per row shard with all_gather +
-            # psum_scatter, so 'fused' no longer regresses multi-chip.
-            backend = "fused"
-        if quant == "int4" and backend == "dense":
-            # the nibble-packed matrix only has fused kernels
-            backend = "fused"
         if backend not in ("dense", "fused"):
             raise ValueError(
                 f"compute_dtype = {quant} requires the dense or fused backend"

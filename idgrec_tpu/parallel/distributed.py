@@ -54,10 +54,17 @@ def initialize(coordinator_address: str | None = None,
             process_id=process_id,
         )
     except (ValueError, RuntimeError) as e:
-        benign = (
-            "coordinator_address" in str(e)  # no cluster metadata found
-            or "must be called before" in str(e)  # backend already up
-        )
+        # Autodetection failures come in two benign shapes:
+        # * ValueError — argument validation: no cluster metadata was
+        #   found in the environment (classified by TYPE, not by the
+        #   wording of a JAX-internal message, which has no stability
+        #   guarantee across upgrades);
+        # * RuntimeError "must be called before ..." — the local
+        #   backend was already touched. On a single machine degrading
+        #   to single-process is correct; on a real pod it would NOT
+        #   be, so it's logged loudly below.
+        already_up = isinstance(e, RuntimeError) and "before" in str(e)
+        benign = isinstance(e, ValueError) or already_up
         if explicit or not benign:
             # the caller named a cluster, or metadata WAS detected and
             # the join genuinely failed (e.g. a barrier timeout):
@@ -66,6 +73,15 @@ def initialize(coordinator_address: str | None = None,
             # logs/checkpoints while collectives hang) is the one
             # unacceptable outcome
             raise
+        if already_up:
+            import logging
+
+            logging.getLogger("idgrec_tpu").warning(
+                "jax.distributed.initialize was skipped because the "
+                "backend is already initialized (%s) — if this is a "
+                "multi-host run, call initialize() before any device "
+                "use or collectives will hang", e,
+            )
         _initialized = "local"
         return
     _initialized = "cluster"

@@ -129,15 +129,23 @@ def global_put(tree, shardings):
     shards' bytes. Requires the host data to be identical on every
     process (true for the engine: sampling/init are deterministic in
     the shared PRNG key)."""
-    if jax.process_count() == 1:
-        return jax.device_put(tree, shardings)
+    multi = jax.process_count() > 1
 
     def place(x, s):
+        if isinstance(x, jax.Array) and x.sharding == s:
+            # already placed exactly as requested (e.g. SGL's shared
+            # binary matrix, mesh-placed once with the model constants
+            # but embedded in every epoch's context pytree): re-placing
+            # would copy gigabytes across the mesh every epoch
+            return x
+        if not multi:
+            return jax.device_put(x, s)
         if isinstance(x, jax.Array) and not x.is_fully_addressable:
-            # already a global array (e.g. epoch-context leaves derived
-            # from sharded params, NCL's k-means outputs): np.asarray
-            # would raise on non-addressable shards — reshard on device
-            # via a jitted identity (XLA inserts the collectives)
+            # a global array with a DIFFERENT sharding (e.g. epoch-
+            # context leaves derived from sharded params, NCL's k-means
+            # outputs): np.asarray would raise on non-addressable
+            # shards — reshard on device via a jitted identity (XLA
+            # inserts the collectives)
             return _identity_restage(s)(x)
         arr = np.asarray(x)
         return jax.make_array_from_callback(arr.shape, s, lambda idx: arr[idx])

@@ -134,3 +134,47 @@ def test_checkpoint_cadence_independent_of_eval_interval(tmp_path):
     # keep=2 prunes older ones; the last two epochs must both be there
     saved = sorted(f for f in os.listdir(ck) if f.endswith(".npz"))
     assert saved == ["ckpt_3.npz", "ckpt_4.npz"], saved
+
+
+def test_load_rejects_incompatible_trailing_dims(tmp_path):
+    """A checkpoint whose leaves differ from the template in a TRAILING
+    dim (e.g. the run was re-configured with a different embedding_size)
+    must raise, not silently slice columns into truncated garbage —
+    only the leading dim may differ (128-row padded storage)."""
+    import pytest
+
+    tree = {"emb": jnp.ones((40, 64), jnp.float32)}
+    ckpt.save_checkpoint(str(tmp_path), 1, tree)
+    template = {"emb": jnp.zeros((40, 32), jnp.float32)}
+    with pytest.raises(ValueError, match="incompatible"):
+        ckpt.load_checkpoint(str(tmp_path), 1, template)
+
+
+def test_load_pads_rows_for_padded_template(tmp_path):
+    """Single-chip (true-shape) checkpoint resumed on a mesh: the
+    template's tables are 128-row padded — the loader zero-pads the
+    missing rows (the pad_tree contract) instead of dying in reshape."""
+    tree = {"emb": jnp.arange(40 * 8, dtype=jnp.float32).reshape(40, 8)}
+    ckpt.save_checkpoint(str(tmp_path), 1, tree)
+    template = {"emb": jnp.zeros((128, 8), jnp.float32)}
+    restored, _ = ckpt.load_checkpoint(str(tmp_path), 1, template)
+    got = np.asarray(restored["emb"])
+    np.testing.assert_array_equal(got[:40], np.asarray(tree["emb"]))
+    assert not got[40:].any()
+
+
+def test_single_chip_checkpoint_resumes_on_mesh(tmp_path):
+    """End-to-end topology change: train single-chip with checkpoints,
+    resume the same run on an 8-device mesh — must continue training
+    (padded template rows zero-filled) and finish with finite loss."""
+    from idgrec_tpu.parallel.mesh import make_mesh
+
+    data = make_synthetic_dataset(67, 83, 800, 160, seed=2, name="tiny")
+    ck = str(tmp_path / "ck")
+    train_model("LightGCN", data, config=_cfg(), seed=5, log_dir=None,
+                echo=False, max_epochs=2, checkpoint_dir=ck)
+    mesh = make_mesh(8, data_parallel=2)
+    r = train_model("LightGCN", data, config=_cfg(), seed=5, log_dir=None,
+                    echo=False, max_epochs=4, checkpoint_dir=ck, mesh=mesh)
+    assert [h["epoch"] for h in r.history] == [3, 4]
+    assert np.isfinite(float(r.history[-1]["loss"].split(" = ")[0]))

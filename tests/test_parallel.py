@@ -353,3 +353,45 @@ def test_make_mesh_non_power_of_two_model_axis_shrinks():
     assert m & (m - 1) == 0 and m > 1, mesh.shape
     mesh = make_mesh(6, data_parallel=2)  # model would be 3
     assert mesh.shape["model"] == 2 and mesh.shape["data"] == 2
+
+
+def test_sgl_shared_matrix_placed_once_on_mesh():
+    """SGL's shared binary matrix is mesh-placed once with the model
+    constants and REUSED by every epoch's dropout-view context — the
+    per-epoch global_put must return the identical array (at yelp2018
+    scale a re-placement would copy ~1.2 GB across the mesh per epoch)."""
+    from jax.sharding import NamedSharding
+
+    from idgrec_tpu.engine.trainer import EpochRunner
+    from idgrec_tpu.models import get_model
+    from idgrec_tpu.parallel.mesh import global_put, param_shardings
+
+    data = make_synthetic_dataset(64, 64, 1024, 128, seed=9, name="tiny")
+    cfg = _cfg(**{"ssl_lambda": 0.1, "ssl_ratio": 0.1, "aug_type": "ed",
+                  "temperature": 0.2})
+    model = get_model("SGL")(cfg, data)
+    model.device_put()
+    mesh = make_mesh(8, data_parallel=2)
+    EpochRunner(model, 0.01, 64, data.num_train, mesh=mesh)
+    # the rebind placed the shared matrix on the mesh
+    assert isinstance(model._m_bin.sharding, NamedSharding)
+    ctx = model.epoch_context({}, {}, 0, np.random.default_rng(0))
+    placed = global_put(ctx, param_shardings(ctx, mesh))
+    leaves = jax.tree.leaves(placed)
+    assert any(l is model._m_bin for l in leaves), (
+        "shared matrix was copied, not reused, by ctx placement"
+    )
+
+
+def test_epoch_runner_rejects_indivisible_batch():
+    """batch_size not divisible by the mesh's data axis must fail at
+    construction with a clear message, not as an opaque uneven-sharding
+    device_put error on the first epoch."""
+    from idgrec_tpu.engine.trainer import EpochRunner
+    from idgrec_tpu.models import get_model
+
+    data = make_synthetic_dataset(64, 64, 512, 64, seed=3, name="tiny")
+    model = get_model("LightGCN")(_cfg(), data)
+    mesh = make_mesh(8, data_parallel=2)
+    with pytest.raises(ValueError, match="data axis"):
+        EpochRunner(model, 0.01, 65, data.num_train, mesh=mesh)

@@ -494,3 +494,22 @@ def test_int4_rejects_wide_counts(tiny_dataset, monkeypatch):
                                           : P._pad_up(data.num_items)])
     with pytest.raises(ValueError, match="int4"):
         build_adjacency(tiny_dataset, "sym", "fused", compute_dtype="int4")
+
+
+def test_resolve_backend_owns_quant_upgrades(tiny_dataset):
+    """resolve_backend is the single owner of the quantized-mode
+    dispatch: auto+int8/int4 upgrade to 'fused', and model-side
+    resolution (SGL) can never disagree with build_adjacency's."""
+    from idgrec_tpu.ops.propagate import FusedSquareAdj, resolve_backend
+
+    assert resolve_backend(tiny_dataset, "auto") == "dense"
+    assert resolve_backend(tiny_dataset, "auto", compute_dtype="int8") == "fused"
+    assert resolve_backend(tiny_dataset, "auto", compute_dtype="int4") == "fused"
+    # int4 upgrades even an EXPLICIT dense request (nibble-packed
+    # matrices only have fused kernels)
+    assert resolve_backend(tiny_dataset, "dense", compute_dtype="int4") == "fused"
+    # int8 respects an explicit dense request
+    assert resolve_backend(tiny_dataset, "dense", compute_dtype="int8") == "dense"
+    for dtype in ("int8", "int4"):
+        adj = build_adjacency(tiny_dataset, "sym", "auto", compute_dtype=dtype)
+        assert isinstance(adj, FusedSquareAdj), dtype
