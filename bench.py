@@ -146,27 +146,43 @@ def main() -> None:
 
     trials = {}
     for cand in candidates:
+        # the whole candidate (setup + compile + trial) is fallible: a
+        # mode can fail at setup (e.g. counts exceed a nibble) OR at
+        # kernel compile time on the attached TPU generation — either
+        # way the autotune must fall through to the surviving modes
         try:
             su = make_setup(cand)
-        except Exception as e:  # e.g. interaction counts exceed a nibble
-            log(f"mode {cand}: setup failed ({type(e).__name__}: {e}) — skipped")
+            t0 = time.time()
+            su["params"], su["opt_state"], su["state"], su["rng"], terms = su["one_epoch"](
+                su["params"], su["opt_state"], su["state"], su["rng"], 0
+            )
+            log(f"mode {cand}: warmup epoch (compile) {time.time()-t0:.1f}s, "
+                f"loss terms {[float(t) for t in terms]}")
+            if len(candidates) > 1:
+                t0 = time.time()
+                su["params"], su["opt_state"], su["state"], su["rng"], terms = su["one_epoch"](
+                    su["params"], su["opt_state"], su["state"], su["rng"], 1
+                )
+                trial_s = time.time() - t0
+                log(f"mode {cand}: trial epoch {trial_s:.3f}s")
+                trials[cand] = (trial_s, su)
+            else:
+                trials[cand] = (0.0, su)
+        except Exception as e:
+            msg = str(e).splitlines()[0][:200] if str(e) else ""
+            log(f"mode {cand}: failed ({type(e).__name__}: {msg}) — skipped")
+            su = None
             continue
+    if args.compute_dtype == "best" and not trials:
+        # quantized modes unavailable on this backend — exact bf16 always works
+        log("all quantized modes failed; falling back to bfloat16")
+        su = make_setup("bfloat16")
         t0 = time.time()
         su["params"], su["opt_state"], su["state"], su["rng"], terms = su["one_epoch"](
             su["params"], su["opt_state"], su["state"], su["rng"], 0
         )
-        log(f"mode {cand}: warmup epoch (compile) {time.time()-t0:.1f}s, "
-            f"loss terms {[float(t) for t in terms]}")
-        if len(candidates) > 1:
-            t0 = time.time()
-            su["params"], su["opt_state"], su["state"], su["rng"], terms = su["one_epoch"](
-                su["params"], su["opt_state"], su["state"], su["rng"], 1
-            )
-            trial_s = time.time() - t0
-            log(f"mode {cand}: trial epoch {trial_s:.3f}s")
-            trials[cand] = (trial_s, su)
-        else:
-            trials[cand] = (0.0, su)
+        log(f"mode bfloat16: warmup epoch (compile) {time.time()-t0:.1f}s")
+        trials["bfloat16"] = (0.0, su)
 
     if not trials:
         raise SystemExit("no benchmark mode could be set up")
@@ -179,7 +195,7 @@ def main() -> None:
             del trials[k]
     # the loop variables still reference the LAST candidate's setup —
     # drop them too or the loser's adjacency/tables stay alive in HBM
-    del su, terms
+    su = terms = None
     cfg, model = setup["cfg"], setup["model"]
     params, opt_state, state, rng = (setup["params"], setup["opt_state"],
                                      setup["state"], setup["rng"])

@@ -370,9 +370,15 @@ def pack_nibbles(m8_padded: np.ndarray) -> np.ndarray:
 
 
 def _unpack(raw):
-    """packed [tu, w] int8 -> (lo, hi) [tu, w] int8 in 0..15."""
+    """packed [tu, w] int8 -> (lo, hi) [tu, w] int8 in 0..15.
+
+    Mosaic rejects right-shifts on int8 vectors on v5e ("failed to
+    legalize operation 'arith.shrsi'"), so the shift is done widened
+    to int32 lanes where it is legal. Packed bytes are lo | hi<<4
+    with hi <= NIBBLE_MAX <= 7, so raw is non-negative and the
+    arithmetic shift is exact."""
     lo = raw & 0xF
-    hi = (raw >> 4) & 0xF
+    hi = ((raw.astype(jnp.int32) >> 4) & 0xF).astype(jnp.int8)
     return lo, hi
 
 

@@ -37,7 +37,23 @@ def _env():
     return env
 
 
-def _run_cluster(nproc: int, local_devices: int, out_path: str, _retry: bool = True):
+# Coordination-service failure signatures that are load artifacts of
+# running a 2-process gloo cluster on one saturated CI host (a slow or
+# OOM-killed worker trips the others' barriers/heartbeats), not bugs in
+# the code under test. Real failures reproduce across retries.
+_FLAKE_MARKERS = (
+    "Barrier timed out",
+    "Shutdown barrier",
+    "DEADLINE_EXCEEDED",
+    "another task died",
+    "detected fatal errors",
+    "coordination service",
+    "Connection reset by peer",
+    "heartbeat",
+)
+
+
+def _run_cluster(nproc: int, local_devices: int, out_path: str, _retries: int = 2):
     coord = f"127.0.0.1:{_free_port()}"
     procs = [
         subprocess.Popen(
@@ -53,19 +69,19 @@ def _run_cluster(nproc: int, local_devices: int, out_path: str, _retry: bool = T
         out, _ = p.communicate(timeout=900)
         outs.append(out.decode(errors="replace"))
     if any(p.returncode != 0 for p in procs):
-        # coordination-service barrier timeouts are a pure load artifact
-        # (a saturated host makes one worker too slow for the shutdown
-        # barrier) — retry once; real failures reproduce and still fail
         joined = "\n".join(outs)
-        if _retry and ("Barrier timed out" in joined or "Shutdown barrier" in joined):
+        if _retries > 0 and any(m in joined for m in _FLAKE_MARKERS):
             # fresh out_path: the worker derives its checkpoint dir from
             # it (out_path + ".ck"), and a first attempt that timed out
             # AFTER training may have left a completed ckpt_2 behind —
             # the retry's resume leg would then train zero epochs
             return _run_cluster(nproc, local_devices, out_path + ".retry",
-                                _retry=False)
-    for p, out in zip(procs, outs):
-        assert p.returncode == 0, f"worker rc={p.returncode}\n{out[-4000:]}"
+                                _retries=_retries - 1)
+    all_tails = "\n\n".join(
+        f"--- worker {i} rc={p.returncode} ---\n{out[-4000:]}"
+        for i, (p, out) in enumerate(zip(procs, outs)))
+    for p in procs:
+        assert p.returncode == 0, all_tails
     with open(out_path) as f:
         return json.load(f)
 
