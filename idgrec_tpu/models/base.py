@@ -225,6 +225,14 @@ def lightgcn_propagate(
             "num_layers=0 with include_layer0=False leaves no embeddings "
             "to combine (GCN_layer must be >= 1 for this model)"
         )
+    from idgrec_tpu.ops import propagate as _prop
+
+    if num_layers > 0 and _prop.supports_chain_t(graph):
+        # quantized fused backend: run the whole chain in transposed
+        # [d, N] layout (N-wide MXU dots, ~1.6x faster per application
+        # — ops/propagate.fused_chain_t); bit-identical results
+        return _prop.fused_chain_t(graph, emb0, num_layers,
+                                   include_layer0, reduce)
     layers = []
     if include_layer0:
         layers.append(emb0)
@@ -289,6 +297,11 @@ def lightgcn_layer_outputs(
 ) -> list[jnp.ndarray]:
     """[emb0, Â·emb0, Â²·emb0, ...] — the per-layer list some SSL models
     contrast across (models/NCL.py:48-64, models/CGCL.py:44-60)."""
+    from idgrec_tpu.ops import propagate as _prop
+
+    if num_layers > 0 and _prop.supports_chain_t(graph):
+        return _prop.fused_chain_t(graph, emb0, num_layers,
+                                   include_layer0=True, reduce=None)
     outs = [emb0]
     h = emb0
     for _ in range(num_layers):

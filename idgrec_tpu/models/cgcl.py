@@ -45,7 +45,7 @@ class CGCL(RecModel):
         self.gamma = config.float("gamma")
         self.temperature = config.float("temperature")
         self.num_layers = config.int("GCN_layer")
-        self.graph = build_adjacency(data, "sym", self.backend, compute_dtype=self.compute_dtype)
+        self.graph = build_adjacency(data, "sym", self.backend, compute_dtype=self.compute_dtype, emb_size=self.embedding_size)
 
     def _pair_loss(self, cur_emb, pre_emb, users, items, lam, blend):
         """One CGCL head: (user-side, item-side) sum-InfoNCE blend.

@@ -34,7 +34,7 @@ class EGCF(RecModel):
         self.num_layers = config.int("GCN_layer")
         self.user_graph = build_rect_adjacency(data, self.backend, compute_dtype=self.compute_dtype)
         if self.mode == "parallel":
-            self.graph = build_adjacency(data, "sym", self.backend, compute_dtype=self.compute_dtype)
+            self.graph = build_adjacency(data, "sym", self.backend, compute_dtype=self.compute_dtype, emb_size=self.embedding_size)
 
     def init_params(self, rng):
         return {"item_emb": xavier_uniform(rng, (self.num_items, self.embedding_size))}

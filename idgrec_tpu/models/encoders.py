@@ -20,7 +20,8 @@ class EncoderSwitchMixin:
         if self.encoder == "LightGCN":
             self.num_layers = config.int("GCN_layer")
             self.graph = build_adjacency(
-                data, "sym", self.backend, compute_dtype=self.compute_dtype
+                data, "sym", self.backend, compute_dtype=self.compute_dtype,
+                emb_size=self.embedding_size,
             )
         elif self.encoder != "MF":
             raise ValueError(f"unknown encoder {self.encoder!r}")

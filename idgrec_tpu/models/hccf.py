@@ -39,7 +39,7 @@ class HCCF(RecModel):
         self.temperature = config.float("temperature")
         self.hyper_size = config.int("hyper_size")
         self.num_layers = config.int("GCN_layer")
-        self.graph = build_adjacency(data, "sym", self.backend, compute_dtype=self.compute_dtype)
+        self.graph = build_adjacency(data, "sym", self.backend, compute_dtype=self.compute_dtype, emb_size=self.embedding_size)
 
     def init_params(self, rng):
         k1, k2, k3, k4 = jax.random.split(rng, 4)

@@ -41,7 +41,7 @@ class IMPGCN(RecModel):
         self.reg_lambda = config.float("reg_lambda")
         self.num_groups = config.int("group")
         self.num_layers = config.int("GCN_layer")
-        self.graph = build_adjacency(data, "sym", self.backend, compute_dtype=self.compute_dtype)
+        self.graph = build_adjacency(data, "sym", self.backend, compute_dtype=self.compute_dtype, emb_size=self.embedding_size)
 
     def init_params(self, rng):
         k1, k2, k3, k4 = jax.random.split(rng, 4)

@@ -42,7 +42,7 @@ class LightGCN(RecModel):
         self.batch_rows = config.int("batch_rows_propagation", 0) == 1
         self.graph = build_adjacency(
             data, "sym", self.backend, compute_dtype=self.compute_dtype,
-            with_transpose=self.batch_rows,
+            with_transpose=self.batch_rows, emb_size=self.embedding_size,
         )
 
     def propagate(self, params):

@@ -29,7 +29,8 @@ class LightGCNPP(RecModel):
         alpha = config.float("alpha")
         beta = config.float("beta")
         self.graph = build_adjacency(
-            data, "gen", self.backend, alpha=alpha, beta=beta, compute_dtype=self.compute_dtype
+            data, "gen", self.backend, alpha=alpha, beta=beta,
+            compute_dtype=self.compute_dtype, emb_size=self.embedding_size,
         )
 
     def propagate(self, params):

@@ -46,7 +46,7 @@ class LightGODE(RecModel):
         self.train_strategy = config.str("train_strategy")
         if self.train_strategy not in ("MF", "GODE", "MF_init"):
             raise ValueError(f"unknown train_strategy {self.train_strategy!r}")
-        self.graph = build_adjacency(data, "sym", self.backend, compute_dtype=self.compute_dtype)
+        self.graph = build_adjacency(data, "sym", self.backend, compute_dtype=self.compute_dtype, emb_size=self.embedding_size)
 
     def _ode_embeddings(self, params):
         e0 = concat_user_item(params).astype(jnp.float32)

@@ -42,7 +42,7 @@ class MixRec(RecModel):
         self.gamma = config.float("gamma")
         self.temperature = config.float("temperature")
         self.num_layers = config.int("GCN_layer")
-        self.graph = build_adjacency(data, "sym", self.backend, compute_dtype=self.compute_dtype)
+        self.graph = build_adjacency(data, "sym", self.backend, compute_dtype=self.compute_dtype, emb_size=self.embedding_size)
 
     def propagate(self, params):
         emb0 = concat_user_item(params)

@@ -53,7 +53,7 @@ class NCL(RecModel):
         self.batch_size = config.int("batch_size")
         # reference hardcodes epoch 20 (NCL.py:110,177); configurable here
         self.warmup_epochs = config.int("warmup_epochs", 20)
-        self.graph = build_adjacency(data, "sym", self.backend, compute_dtype=self.compute_dtype)
+        self.graph = build_adjacency(data, "sym", self.backend, compute_dtype=self.compute_dtype, emb_size=self.embedding_size)
 
     def epoch_context(self, params, state, epoch, np_rng):
         d = self.embedding_size

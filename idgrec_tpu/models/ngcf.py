@@ -58,7 +58,8 @@ class _WeightedGCNBase(RecModel):
         self.node_drop_prob = config.float("node_drop_prob", 0.0)
         backend = "gather" if self.node_dropout else self.backend
         self.graph = build_adjacency(
-            data, self.adjacency_variant, backend, compute_dtype=self.compute_dtype
+            data, self.adjacency_variant, backend,
+            compute_dtype=self.compute_dtype, emb_size=self.embedding_size,
         )
 
     def init_params(self, rng):

@@ -54,7 +54,7 @@ class RecDCL(RecModel):
         self.all_bt_coeff = config.float("all_bt_coeff")
         self.mom_coeff = config.float("mom_coeff")
         self.momentum = config.float("momentum")
-        self.graph = build_adjacency(data, "sym", self.backend, compute_dtype=self.compute_dtype)
+        self.graph = build_adjacency(data, "sym", self.backend, compute_dtype=self.compute_dtype, emb_size=self.embedding_size)
 
     def init_params(self, rng):
         k1, k2, k3, k4, k5, k6 = jax.random.split(rng, 6)

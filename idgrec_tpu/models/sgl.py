@@ -64,7 +64,7 @@ class SGL(RecModel):
         self.backend = resolve_backend(
             data, self.backend, copies=2, compute_dtype=self.compute_dtype
         )
-        self.graph = build_adjacency(data, "sym", self.backend, compute_dtype=self.compute_dtype)
+        self.graph = build_adjacency(data, "sym", self.backend, compute_dtype=self.compute_dtype, emb_size=self.embedding_size)
         # shared matrix state for dropout views (uploaded once)
         self._m_bin = build_dropout_shared(data, self.backend)
         # feature-batched propagation: all 3 chains (clean + 2 views)

@@ -31,7 +31,7 @@ class XSimGCL(RecModel):
         self.temperature = config.float("temperature")
         self.cl_layer = config.int("cl_layer")
         self.num_layers = config.int("GCN_layer")
-        self.graph = build_adjacency(data, "sym", self.backend, compute_dtype=self.compute_dtype)
+        self.graph = build_adjacency(data, "sym", self.backend, compute_dtype=self.compute_dtype, emb_size=self.embedding_size)
 
     def _propagate(self, params, rng=None):
         """Returns (final mean over layers 1..K, cl-layer embedding).

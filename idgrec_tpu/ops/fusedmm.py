@@ -374,9 +374,11 @@ def _unpack(raw):
 
     Mosaic rejects right-shifts on int8 vectors on v5e ("failed to
     legalize operation 'arith.shrsi'"), so the shift is done widened
-    to int32 lanes where it is legal. Packed bytes are lo | hi<<4
-    with hi <= NIBBLE_MAX <= 7, so raw is non-negative and the
-    arithmetic shift is exact."""
+    to int32 lanes where it is legal. The trailing ``& 0xF`` mask makes
+    the result exact regardless of the byte's sign (an arithmetic
+    shift of a negative byte smears sign bits, but the mask drops
+    them); hi <= NIBBLE_MAX <= 7 is a pack_nibbles invariant, not a
+    correctness requirement of this unpack."""
     lo = raw & 0xF
     hi = ((raw.astype(jnp.int32) >> 4) & 0xF).astype(jnp.int8)
     return lo, hi
@@ -594,3 +596,314 @@ def _fused_bwd(interpret, m8, g):
 
 
 fused_adj_matmul.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Transposed-activation ("T") kernels: activations live as [d, N] and
+# BOTH directions become M=d dots with a WIDE output dimension.
+#
+# Why: measured on v5e (scripts/microbench_fused_variants.py, long-run
+# scan-timed), the MXU runs the natural [1024,512]x[512,64] dot at
+# ~128 TOP/s but the lhs-transposed contraction the dual kernel uses
+# for yi ([1024,512] ctr dim 0) at only ~87 TOP/s — N=64 wastes half
+# the systolic array's lanes and the transposed orientation costs
+# another ~1.5x. With activations transposed, the SAME matrix tile
+# serves two N-wide dots:
+#
+#     yuT [d, TU] = qiT [d, TI] (.) m [TU, TI]    (ctr: both dim 1)
+#     yiT [d, TI] = quT [d, TU]  @  m [TU, TI]    (ctr: lhs 1, rhs 0)
+#
+# measured at ~210 / ~198 TOP/s — the fused application drops from
+# 2.97 ms to 2.10 ms (int8) and 2.72 ms to 1.67 ms (int4) at yelp2018
+# scale (scripts/microbench_tkernel.py). Bit-identical results to the
+# untransposed kernels (same int32 MACs, same f32 converts).
+#
+# The transpose cost is amortized at the CHAIN level: the whole
+# K-layer propagation (and through the custom VJP, its backward)
+# stays in [d, N] layout — ops/propagate.py fused_chain_t.
+
+
+def _tkernel_int8(m_ref, qi_ref, qu_ref, yu_ref, yi_ref, yi_acc, sem):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    ni = pl.num_programs(0)
+    nj = pl.num_programs(1)
+    d, ti = qi_ref.shape
+
+    @pl.when(j == 0)
+    def _():
+        yu_ref[...] = jnp.zeros_like(yu_ref)
+
+    @pl.when(i == 0)
+    def _():
+        yi_acc[:, pl.ds(j * ti, ti)] = jnp.zeros((d, ti), jnp.float32)
+
+    mm = m_ref[...]  # int8 [tu, ti]
+    yu_ref[...] += jax.lax.dot_general(
+        qi_ref[...], mm,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    yi_acc[:, pl.ds(j * ti, ti)] += jax.lax.dot_general(
+        qu_ref[...], mm,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+
+    @pl.when((i == ni - 1) & (j == nj - 1))
+    def _():
+        copy = pltpu.make_async_copy(yi_acc, yi_ref, sem)
+        copy.start()
+        copy.wait()
+
+
+def _tkernel_int4(m_ref, qi_ref, qu_ref, yu_ref, yi_ref, yi_acc, sem):
+    """int4 T-kernel with the mask-only unpack: hi nibbles enter the
+    MXU as ``raw & 0xF0`` (their value x16 — int8-safe since hi <= 7)
+    and one arithmetic >>4 on the small int32 dot OUTPUT divides the
+    16 back out (exact: every product is a multiple of 16)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    ni = pl.num_programs(0)
+    nj = pl.num_programs(1)
+    d, ti = qi_ref.shape
+    half = ti // 2
+
+    @pl.when(j == 0)
+    def _():
+        yu_ref[...] = jnp.zeros_like(yu_ref)
+
+    @pl.when(i == 0)
+    def _():
+        yi_acc[:, pl.ds(j * ti, ti)] = jnp.zeros((d, ti), jnp.float32)
+
+    raw = m_ref[...]  # packed int8 [tu, ti//2]
+    lo = raw & 0xF
+    hi16 = raw & jnp.int8(-16)  # 0xF0 mask
+    q = qi_ref[...]
+    yu_ref[...] += (
+        jax.lax.dot_general(
+            q[:, :half], lo, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        + (jax.lax.dot_general(
+            q[:, half:], hi16, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32) >> 4)
+    ).astype(jnp.float32)
+    qu = qu_ref[...]
+    yi_acc[:, pl.ds(j * ti, half)] += jax.lax.dot_general(
+        qu, lo, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    yi_acc[:, pl.ds(j * ti + half, half)] += (
+        jax.lax.dot_general(
+            qu, hi16, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32) >> 4
+    ).astype(jnp.float32)
+
+    @pl.when((i == ni - 1) & (j == nj - 1))
+    def _():
+        copy = pltpu.make_async_copy(yi_acc, yi_ref, sem)
+        copy.start()
+        copy.wait()
+
+
+def _tdual_small_call(kernel, m, i_pad, qu, qi, interpret, tu, m_cols):
+    u_pad = m.shape[0]
+    d = qi.shape[0]
+    grid = (u_pad // tu, i_pad // TI)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tu, m_cols), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, TI), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, tu), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((d, tu), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((d, u_pad), jnp.float32),
+            jax.ShapeDtypeStruct((d, i_pad), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((d, i_pad), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=i_pad * d * 4 + 16 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * u_pad * i_pad * d,
+            bytes_accessed=u_pad * m.shape[1] + (u_pad + i_pad) * d * 5,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(m, qi, qu)
+
+
+def _tkernel_int8_panel(m_ref, qi_ref, qu_ref, yi_ref, yu_ref, yu_acc, sem_u):
+    p = pl.program_id(0)
+    u = pl.program_id(1)
+    j = pl.program_id(2)
+    np_ = pl.num_programs(0)
+    nu = pl.num_programs(1)
+    nj = pl.num_programs(2)
+    d, ti = qi_ref.shape
+    tu = qu_ref.shape[1]
+
+    @pl.when((p == 0) & (j == 0))
+    def _():
+        yu_acc[:, pl.ds(u * tu, tu)] = jnp.zeros((d, tu), jnp.float32)
+
+    @pl.when((u == 0) & (j == 0))
+    def _():
+        yi_ref[...] = jnp.zeros_like(yi_ref)
+
+    mm = m_ref[...]
+    yu_acc[:, pl.ds(u * tu, tu)] += jax.lax.dot_general(
+        qi_ref[...], mm, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    yi_ref[:, pl.ds(j * ti, ti)] += jax.lax.dot_general(
+        qu_ref[...], mm, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+
+    @pl.when((p == np_ - 1) & (u == nu - 1) & (j == nj - 1))
+    def _():
+        copy = pltpu.make_async_copy(yu_acc, yu_ref, sem_u)
+        copy.start()
+        copy.wait()
+
+
+def _tkernel_int4_panel(m_ref, qi_ref, qu_ref, yi_ref, yu_ref, yu_acc, sem_u):
+    p = pl.program_id(0)
+    u = pl.program_id(1)
+    j = pl.program_id(2)
+    np_ = pl.num_programs(0)
+    nu = pl.num_programs(1)
+    nj = pl.num_programs(2)
+    d, ti = qi_ref.shape
+    half = ti // 2
+    tu = qu_ref.shape[1]
+
+    @pl.when((p == 0) & (j == 0))
+    def _():
+        yu_acc[:, pl.ds(u * tu, tu)] = jnp.zeros((d, tu), jnp.float32)
+
+    @pl.when((u == 0) & (j == 0))
+    def _():
+        yi_ref[...] = jnp.zeros_like(yi_ref)
+
+    raw = m_ref[...]
+    lo = raw & 0xF
+    hi16 = raw & jnp.int8(-16)
+    q = qi_ref[...]
+    yu_acc[:, pl.ds(u * tu, tu)] += (
+        jax.lax.dot_general(
+            q[:, :half], lo, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        + (jax.lax.dot_general(
+            q[:, half:], hi16, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32) >> 4)
+    ).astype(jnp.float32)
+    qu = qu_ref[...]
+    yi_ref[:, pl.ds(j * ti, half)] += jax.lax.dot_general(
+        qu, lo, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    yi_ref[:, pl.ds(j * ti + half, half)] += (
+        jax.lax.dot_general(
+            qu, hi16, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32) >> 4
+    ).astype(jnp.float32)
+
+    @pl.when((p == np_ - 1) & (u == nu - 1) & (j == nj - 1))
+    def _():
+        copy = pltpu.make_async_copy(yu_acc, yu_ref, sem_u)
+        copy.start()
+        copy.wait()
+
+
+def _tdual_panel_call(kernel, m, i_pad, qu, qi, interpret, tu, m_cols_per_ti):
+    u_pad = m.shape[0]
+    d = qi.shape[0]
+    grid = (i_pad // PANEL, u_pad // tu, PANEL // TI)
+    nji = PANEL // TI
+    yi, yu = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tu, m_cols_per_ti), lambda p, u, j: (u, p * nji + j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, TI), lambda p, u, j: (0, p * nji + j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, tu), lambda p, u, j: (0, u), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((d, PANEL), lambda p, u, j: (0, p), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((d, i_pad), jnp.float32),
+            jax.ShapeDtypeStruct((d, u_pad), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((d, u_pad), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=(u_pad * d + 2 * PANEL * d) * 4 + 12 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * u_pad * i_pad * d,
+            bytes_accessed=u_pad * m.shape[1] + (u_pad + i_pad) * d * 5,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(m, qi, qu)
+    return yu, yi
+
+
+def fused_adj_matmul_int8_t(m8: jnp.ndarray, quT: jnp.ndarray, qiT: jnp.ndarray,
+                            interpret: bool = False):
+    """Transposed-activation twin of `fused_adj_matmul_int8`:
+    (M @ qi, Mᵀ @ qu) computed as (yuT, yiT) for quT int8 [d, U_pad],
+    qiT int8 [d, I_pad]. Returns f32 (yuT [d, U_pad], yiT [d, I_pad])
+    of the raw integer products; bit-identical to the untransposed
+    kernel's outputs (same int32 MACs, same converts)."""
+    u_pad, i_pad = m8.shape
+    d = qiT.shape[0]
+    tu = pick_row_tile(u_pad)
+    assert tu is not None, f"u_pad={u_pad} not a 128-multiple"
+    if i_pad * d * 4 <= MAX_YI_VMEM_BYTES:
+        assert i_pad % TI == 0, f"i_pad={i_pad} not a TI={TI} multiple"
+        return _tdual_small_call(_tkernel_int8, m8, i_pad, quT, qiT,
+                                 interpret, tu, TI)
+    assert i_pad % PANEL == 0, f"i_pad={i_pad} not a PANEL={PANEL} multiple"
+    assert u_pad * d * 4 <= MAX_YU_VMEM_BYTES, "yu accumulator over budget"
+    return _tdual_panel_call(_tkernel_int8_panel, m8, i_pad, quT, qiT,
+                             interpret, tu, TI)
+
+
+def fused_adj_matmul_int4_t(m4: jnp.ndarray, quT: jnp.ndarray, qiT: jnp.ndarray,
+                            interpret: bool = False):
+    """Transposed-activation twin of `fused_adj_matmul_int4` (m4 in
+    pack_nibbles layout, [U_pad, I_pad//2])."""
+    u_pad = m4.shape[0]
+    i_pad = 2 * m4.shape[1]
+    d = qiT.shape[0]
+    tu = pick_row_tile(u_pad)
+    assert tu is not None, f"u_pad={u_pad} not a 128-multiple"
+    if i_pad * d * 4 <= MAX_YI_VMEM_BYTES:
+        assert i_pad % TI == 0, f"i_pad={i_pad} not a TI={TI} multiple"
+        return _tdual_small_call(_tkernel_int4, m4, i_pad, quT, qiT,
+                                 interpret, tu, TI // 2)
+    assert i_pad % PANEL == 0, f"i_pad={i_pad} not a PANEL={PANEL} multiple"
+    assert u_pad * d * 4 <= MAX_YU_VMEM_BYTES, "yu accumulator over budget"
+    return _tdual_panel_call(_tkernel_int4_panel, m4, i_pad, quT, qiT,
+                             interpret, tu, TI // 2)

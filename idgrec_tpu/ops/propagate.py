@@ -221,6 +221,60 @@ def _qfd4_impl(m4, zi, zu, interpret):
     return yu * si, yi * su
 
 
+# ---------------------------------------------------------------------------
+# Transposed-activation quantized propagation (the fast single-chip
+# path). Measured on v5e (scripts/microbench_tkernel.py): the fused
+# dual application drops from 2.97 ms to 2.10 ms (int8) and from
+# 2.72 ms to 1.67 ms (int4) at yelp2018 scale because both MXU dots
+# run N-wide instead of N=64 (ops/fusedmm.py T-kernel rationale).
+# Activations stay [d, N] across the WHOLE propagation chain
+# (fused_chain_t) so the layout transposes happen once per chain, not
+# once per application — and the custom VJP keeps the backward chain
+# transposed too.
+
+
+def _quantize_rows(zT: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-row (= per-feature in [d, N] layout) symmetric int8
+    quantization — the exact transpose of `_quantize_cols`: identical
+    scale values, identical rounded integers."""
+    amax = jnp.max(jnp.abs(zT), axis=1, keepdims=True)
+    scale = jnp.where(amax > 0.0, amax / 127.0, 1.0).astype(jnp.float32)
+    q = jnp.round(zT / scale).astype(jnp.int8)
+    return q, scale  # scale [d, 1]
+
+
+def _qfdt_impl(m, ziT, zuT, quant, interpret):
+    qi, si = _quantize_rows(ziT)
+    qu, su = _quantize_rows(zuT)
+    if quant == "int4":
+        yuT, yiT = fusedmm.fused_adj_matmul_int4_t(m, qu, qi, interpret)
+    else:
+        yuT, yiT = fusedmm.fused_adj_matmul_int8_t(m, qu, qi, interpret)
+    return yuT * si, yiT * su
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def quant_fused_dual_t(m, ziT, zuT, quant="int8", interpret=False):
+    """(M @ q8(zi), Mᵀ @ q8(zu)) in TRANSPOSED layout: ziT [d, I_pad],
+    zuT [d, U_pad] -> (yuT [d, U_pad], yiT [d, I_pad]). Same numerics
+    as quant_fused_dual/quant_fused_dual4 (bit-identical integer MACs
+    and scale math); straight-through fully-quantized backward."""
+    return _qfdt_impl(m, ziT, zuT, quant, interpret)
+
+
+def _qfdt_fwd(m, ziT, zuT, quant, interpret):
+    return _qfdt_impl(m, ziT, zuT, quant, interpret), m
+
+
+def _qfdt_bwd(quant, interpret, m, g):
+    g_yuT, g_yiT = g
+    dzuT, dziT = _qfdt_impl(m, g_yiT, g_yuT, quant, interpret)
+    return np.zeros(m.shape, dtype=jax.dtypes.float0), dziT, dzuT
+
+
+quant_fused_dual_t.defvjp(_qfdt_fwd, _qfdt_bwd)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(3,))
 def quant_fused_dual4(m4, zi, zu, interpret=False):
     """int4 twin of quant_fused_dual: M stored nibble-packed
@@ -774,6 +828,93 @@ class FusedSquareAdj:
         return jnp.concatenate([yu, yi], axis=0).astype(x.dtype)
 
 
+def supports_chain_t(graph) -> bool:
+    """True when `fused_chain_t` applies: quantized fused backend with
+    no active model-parallel mesh (the sharded path has its own
+    per-shard kernels and collective structure)."""
+    if not isinstance(graph, FusedSquareAdj) or graph.quant not in ("int8", "int4"):
+        return False
+    u_pad, i_pad = graph.padded_shape
+    if i_pad % fusedmm.TI != 0 or fusedmm.pick_row_tile(u_pad) is None:
+        return False
+    from idgrec_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.get_active_mesh()
+    return mesh is None or mesh.shape.get("model", 1) == 1
+
+
+def fused_chain_t(
+    adj: "FusedSquareAdj",
+    emb0: jnp.ndarray,
+    num_layers: int,
+    include_layer0: bool = True,
+    reduce: str | None = "mean",
+    activation=None,
+):
+    """K applications of Â in TRANSPOSED [d, N] layout with one layout
+    transpose at each end — numerically identical (bit-exact) to
+    ``num_layers`` repeated ``adj.matmul`` calls on the quantized fused
+    backend, but every application runs the N-wide T-kernel
+    (~1.6x faster per application at yelp2018 scale, and the custom
+    VJP keeps the whole backward chain transposed too).
+
+    reduce: 'mean' | 'sum' over the layer stack, or None to return the
+    per-layer list in [N, d] layout (lightgcn_layer_outputs contract).
+    activation: optional elementwise fn applied after each application
+    (EGCF's tanh, models/EGCF.py:67-84 — elementwise ops are
+    layout-invariant).
+    """
+    nu, ni = adj.num_users, adj.num_items
+    u_pad, i_pad = adj.padded_shape
+    xT = emb0.astype(jnp.float32).T  # [d, nu+ni]
+    hu = jnp.pad(xT[:, :nu], ((0, 0), (0, u_pad - nu)))
+    hi = jnp.pad(xT[:, nu:], ((0, 0), (0, i_pad - ni)))
+    ru = jnp.pad(adj.right_u, (0, u_pad - nu))[None, :]
+    ri = jnp.pad(adj.right_i, (0, i_pad - ni))[None, :]
+    lu = jnp.pad(adj.left_u, (0, u_pad - nu))[None, :]
+    li = jnp.pad(adj.left_i, (0, i_pad - ni))[None, :]
+    if adj.has_diag:
+        du = jnp.pad(adj.diag_u, (0, u_pad - nu))[None, :]
+        di = jnp.pad(adj.diag_i, (0, i_pad - ni))[None, :]
+
+    layers = [(hu, hi)] if (include_layer0 or reduce is None) else []
+    for _ in range(num_layers):
+        ziT = ri * hi
+        zuT = ru * hu
+        yuT, yiT = quant_fused_dual_t(adj.m8, ziT, zuT, adj.quant, adj.interpret)
+        # scale order matches FusedSquareAdj.matmul exactly:
+        # left * (raw * s) — keeps f32 results bit-identical
+        nhu = lu * yuT
+        nhi = li * yiT
+        if adj.has_diag:
+            nhu = nhu + du * hu
+            nhi = nhi + di * hi
+        if activation is not None:
+            nhu = activation(nhu)
+            nhi = activation(nhi)
+        hu, hi = nhu, nhi
+        layers.append((hu, hi))
+
+    def _back(pair):
+        cu, ci = pair
+        return jnp.concatenate([cu[:, :nu], ci[:, :ni]], axis=1).T
+
+    if reduce is None:
+        outs = [_back(p) for p in layers]
+        if not include_layer0:
+            outs = outs[1:]
+        return outs
+    su = jnp.stack([p[0] for p in layers], axis=0)
+    si = jnp.stack([p[1] for p in layers], axis=0)
+    if reduce == "mean":
+        cu, ci = jnp.mean(su, axis=0), jnp.mean(si, axis=0)
+    elif reduce == "sum":
+        cu, ci = jnp.sum(su, axis=0), jnp.sum(si, axis=0)
+    else:
+        raise ValueError(f"unknown reduce {reduce!r}")
+    return _back((cu, ci)).astype(emb0.dtype)
+
+
 @partial(jax.tree_util.register_dataclass,
          data_fields=["packed", "packed_t", "left", "right"],
          meta_fields=["num_users", "num_items", "interpret"])
@@ -887,6 +1028,7 @@ def build_adjacency(
     beta: float | None = None,
     compute_dtype: str = "bfloat16",
     with_transpose: bool = False,
+    emb_size: int | None = None,
 ):
     """Normalized square adjacency ops.
 
@@ -900,6 +1042,11 @@ def build_adjacency(
     compute_dtype: 'bfloat16' (default), 'float32' (full precision),
     or 'int8' (dense backend only: per-column-quantized activations on
     the int8 MXU, straight-through gradients — see quant_dual_matmul).
+
+    emb_size: when given, quantized fused matrices whose single-panel
+    kernel fits the VMEM budget at this width are padded to TI
+    multiples instead of PANEL — at yelp2018 scale PANEL padding adds
+    2,560 pure-zero item columns (6.7% wasted HBM + MXU per sweep).
     """
     full_dtype = compute_dtype
     compute_dtype, quant = _split_quant(compute_dtype)
@@ -966,7 +1113,12 @@ def build_adjacency(
         return BitSquareAdj(p, pt, lu, li, ru, ri, diag_u, diag_i,
                             nu, ni, has_diag, _bitpack_interpret())
     if backend == "fused":
-        item_mult = fusedmm.PANEL if quant != "none" else fusedmm.TI
+        if quant == "none" or (
+            emb_size is not None and fusedmm.fused_fits(data.num_items, emb_size)
+        ):
+            item_mult = fusedmm.TI
+        else:
+            item_mult = fusedmm.PANEL
         m_np = fusedmm.pad_matrix(_count_matrix_int8(data), item_mult)
         if quant == "int4":
             if int(m_np.max(initial=0)) > fusedmm.NIBBLE_MAX:

@@ -1,0 +1,336 @@
+"""Per-component cost table for the bench LightGCN step (real TPU).
+
+VERDICT r2 item 1: the int4 step measures 16.9 ms vs a ~5.4 ms
+adjacency-read floor; this script decomposes the step so the gap is
+attributed, not guessed. Everything is scan-chained (output feeds the
+next input) so async dispatch cannot hide device time.
+
+Components measured at yelp2018 scale (U=31668, I=38048, d=64, K=3):
+  kernel.int8        raw fused dual kernel, pre-quantized inputs
+  kernel.int4        raw nibble kernel, current widening unpack
+  kernel.int4v2      nibble kernel, mask-only unpack + output shift
+  quantize           per-column quantization of (zu, zi) alone
+  app.int8/int4      full quantized application (scales+pad+kernel)
+  propagate          3-layer LightGCN forward
+  step               full train step (fwd+bwd+Adam) via the EpochRunner
+
+Floors (docs/SCALING.md, 670 GB/s HBM, 197 TOPS int8 MXU at 50%
+utilization for d=64): int8 app max(1.94 HBM, 1.69 MXU) ≈ 1.9 ms;
+int4 app max(0.97, 1.69) ≈ 1.7 ms.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from idgrec_tpu.ops import fusedmm
+from idgrec_tpu.ops.fusedmm import TI, pick_row_tile
+from idgrec_tpu.ops.propagate import _quantize_cols
+
+U, I, D = 31_668, 38_048, 64
+NNZ = 1_237_259
+STEPS = 100
+
+
+def chain_time(name, fn, *args, steps=STEPS, flops=None, bytes_=None,
+               statics=()):
+    """Run fn in a feedback scan; report ms/iteration.
+
+    `statics`: large device arrays fn needs (adjacency matrices etc.),
+    passed as jit ARGUMENTS — a closure would embed them as program
+    constants and overflow the axon remote-compile request body.
+    """
+    @jax.jit
+    def run(statics, *a):
+        def body(carry, _):
+            out = fn(*carry, *statics)
+            # feed outputs back (normalized) so iterations serialize
+            new = tuple(
+                (o / (jnp.max(jnp.abs(o)) + 1e-6)).astype(c.dtype)
+                if o.shape == c.shape and jnp.issubdtype(c.dtype, jnp.floating)
+                else c
+                for o, c in zip(out + a[len(out):], a)
+            )
+            return new, ()
+        final, _ = jax.lax.scan(body, a, None, length=steps)
+        return final
+
+    t0 = time.time()
+    out = run(statics, *args)
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+    t0 = time.perf_counter()
+    out = run(statics, *args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / steps
+    extra = ""
+    if bytes_:
+        extra += f"  {bytes_/dt/1e9:7.0f} GB/s"
+    if flops:
+        extra += f"  {flops/dt/1e12:6.1f} TOP/s"
+    print(f"{name:18s} {dt*1e3:8.3f} ms{extra}   (compile {compile_s:.0f}s)",
+          flush=True)
+    return dt
+
+
+# ---------------------------------------------------------------------------
+# int4 kernel variant 2: mask-only unpack. hi nibbles enter the MXU as
+# raw & 0xF0 (their value x16, still int8-safe since hi <= 7) and the
+# x16 is divided back out of the int32 dot result with one arithmetic
+# shift over the TINY [tile, d] output — O(tu*d) int32 lanes instead of
+# O(tu*ti) widened lanes per tile. Exact: every product is a multiple
+# of 16, and arithmetic >>4 floor-divides multiples of 16 exactly
+# (positive or negative).
+
+def _kernel_int4_v2(m_ref, qi_ref, qu_ref, yu_ref, yi_ref, yi_acc, sem):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    ni = pl.num_programs(0)
+    nj = pl.num_programs(1)
+    ti, d = qi_ref.shape
+    half = ti // 2
+
+    @pl.when(j == 0)
+    def _():
+        yu_ref[...] = jnp.zeros_like(yu_ref)
+
+    @pl.when(i == 0)
+    def _():
+        yi_acc[pl.ds(j * ti, ti), :] = jnp.zeros((ti, d), jnp.float32)
+
+    raw = m_ref[...]
+    lo = raw & 0xF
+    hi16 = raw & jnp.int8(0xF0 - 256)  # -16 as int8 == 0xF0 mask
+    q = qi_ref[...]
+    yu_ref[...] += (
+        jnp.dot(lo, q[:half], preferred_element_type=jnp.int32)
+        + (jnp.dot(hi16, q[half:], preferred_element_type=jnp.int32) >> 4)
+    ).astype(jnp.float32)
+    qu = qu_ref[...]
+    yi_acc[pl.ds(j * ti, half), :] += jax.lax.dot_general(
+        lo, qu, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    yi_acc[pl.ds(j * ti + half, half), :] += (
+        jax.lax.dot_general(
+            hi16, qu, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ) >> 4
+    ).astype(jnp.float32)
+
+    @pl.when((i == ni - 1) & (j == nj - 1))
+    def _():
+        copy = pltpu.make_async_copy(yi_acc, yi_ref, sem)
+        copy.start()
+        copy.wait()
+
+
+def int4_v2_call(m4, qu, qi):
+    u_pad = m4.shape[0]
+    i_pad = 2 * m4.shape[1]
+    d = qi.shape[1]
+    tu = pick_row_tile(u_pad)
+    grid = (u_pad // tu, i_pad // TI)
+    return pl.pallas_call(
+        _kernel_int4_v2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tu, TI // 2), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TI, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tu, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tu, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((u_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((i_pad, d), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((i_pad, d), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=i_pad * d * 4 + 16 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * u_pad * i_pad * d,
+            bytes_accessed=u_pad * i_pad // 2 + (u_pad + i_pad) * d * 5,
+            transcendentals=0,
+        ),
+    )(m4, qi, qu)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--parts", default="all",
+                    help="comma list: kernels,quant,app,propagate,step")
+    args = ap.parse_args()
+    parts = set(args.parts.split(",")) if args.parts != "all" else {
+        "kernels", "quant", "app", "propagate", "step"}
+
+    rng = np.random.default_rng(0)
+    m = np.zeros((U, I), np.int8)
+    m[rng.integers(0, U, NNZ), rng.integers(0, I, NNZ)] = 1
+
+    m8_np = fusedmm.pad_matrix(m, fusedmm.PANEL)
+    UP, IP = m8_np.shape
+    m8 = jnp.asarray(m8_np)
+    m4 = jnp.asarray(fusedmm.pack_nibbles(m8_np))
+    print(f"padded {m8_np.shape}: int8 {m8.nbytes/1e9:.2f} GB, "
+          f"int4 {m4.nbytes/1e9:.2f} GB", flush=True)
+    mxu_macs = 2 * UP * IP * D  # both directions
+
+    qu0 = jnp.asarray(rng.integers(-127, 128, (UP, D)), jnp.int8)
+    qi0 = jnp.asarray(rng.integers(-127, 128, (IP, D)), jnp.int8)
+    zu0 = jnp.asarray(rng.standard_normal((UP, D)), jnp.float32)
+    zi0 = jnp.asarray(rng.standard_normal((IP, D)), jnp.float32)
+
+    results = {}
+    if "kernels" in parts:
+        # raw kernels, fixed int8 inputs (no feedback possible into int8
+        # without quantization — chain through dummy f32 carries)
+        def k8(zu, zi, mat):
+            qu = (zu * 127).astype(jnp.int8)
+            qi = (zi * 127).astype(jnp.int8)
+            yu, yi = fusedmm.fused_adj_matmul_int8(mat, qu, qi)
+            return yu[:U], yi[:I]
+
+        def k4(zu, zi, mat):
+            qu = (zu * 127).astype(jnp.int8)
+            qi = (zi * 127).astype(jnp.int8)
+            yu, yi = fusedmm.fused_adj_matmul_int4(mat, qu, qi)
+            return yu[:U], yi[:I]
+
+        def k4v2(zu, zi, mat):
+            qu = (zu * 127).astype(jnp.int8)
+            qi = (zi * 127).astype(jnp.int8)
+            yu, yi = int4_v2_call(mat, qu, qi)
+            return yu[:U], yi[:I]
+
+        # correctness first: v2 == current int4 == int8, bit-exact
+        y8 = fusedmm.fused_adj_matmul_int8(m8, qu0, qi0)
+        y4 = fusedmm.fused_adj_matmul_int4(m4, qu0, qi0)
+        yv2 = int4_v2_call(m4, qu0, qi0)
+        d48 = max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(y4, y8))
+        dv2 = max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(yv2, y8))
+        print(f"exactness: int4-int8 {d48}, int4v2-int8 {dv2}", flush=True)
+        assert d48 == 0.0 and dv2 == 0.0
+
+        zu_t = zu0[:U] * 0.1
+        zi_t = zi0[:I] * 0.1
+        results["kernel.int8"] = chain_time(
+            "kernel.int8", k8, zu_t, zi_t, bytes_=m8.nbytes, flops=2 * mxu_macs,
+            statics=(m8,))
+        results["kernel.int4"] = chain_time(
+            "kernel.int4", k4, zu_t, zi_t, bytes_=m4.nbytes, flops=2 * mxu_macs,
+            statics=(m4,))
+        results["kernel.int4v2"] = chain_time(
+            "kernel.int4v2", k4v2, zu_t, zi_t, bytes_=m4.nbytes, flops=2 * mxu_macs,
+            statics=(m4,))
+
+    if "quant" in parts:
+        def qonly(zu, zi):
+            qu, su = _quantize_cols(zu)
+            qi, si = _quantize_cols(zi)
+            return (qu.astype(jnp.float32) * su), (qi.astype(jnp.float32) * si)
+
+        results["quantize+deq"] = chain_time(
+            "quantize+deq", qonly, zu0, zi0,
+            bytes_=(zu0.nbytes + zi0.nbytes) * 3)
+
+    if "app" in parts:
+        from idgrec_tpu.data.dataset import make_synthetic_dataset
+        from idgrec_tpu.ops.propagate import build_adjacency
+
+        data = make_synthetic_dataset(U, I, NNZ, 1000, seed=0, name="prof")
+        for mode in ("int8", "int4"):
+            adj = build_adjacency(data, "sym", "fused", compute_dtype=mode)
+            x0 = jnp.asarray(
+                rng.standard_normal((U + I, D)) * 0.1, jnp.float32)
+
+            def app(x, _adj=adj):
+                return (_adj.matmul(x),)
+
+            leaves, treedef = jax.tree.flatten(adj)
+
+            def app2(x, *leaves, _td=treedef):
+                return (jax.tree.unflatten(_td, leaves).matmul(x),)
+
+            results[f"app.{mode}"] = chain_time(
+                f"app.{mode}", app2, x0, statics=tuple(leaves))
+            del adj
+        if "propagate" in parts:
+            adj = build_adjacency(data, "sym", "fused", compute_dtype="int4")
+
+            leaves, treedef = jax.tree.flatten(adj)
+
+            def prop(x, *leaves, _td=treedef):
+                _adj = jax.tree.unflatten(_td, leaves)
+                outs = [x]
+                h = x
+                for _ in range(3):
+                    h = _adj.matmul(h)
+                    outs.append(h)
+                return (sum(outs) / 4.0,)
+
+            results["propagate3.int4"] = chain_time(
+                "propagate3.int4", prop, x0, statics=tuple(leaves))
+            del adj
+
+    if "step" in parts:
+        # full train step through the real engine (64-step segment)
+        from idgrec_tpu.config import Config
+        from idgrec_tpu.data.dataset import make_synthetic_dataset
+        from idgrec_tpu.engine.sampler import NegativeSampler
+        from idgrec_tpu.engine.trainer import EpochRunner
+        from idgrec_tpu.models import get_model
+
+        data = make_synthetic_dataset(U, I, NNZ, 1000, seed=0, name="prof")
+        for mode in ("int8", "int4"):
+            cfg = Config({
+                "dataset": data.name, "top_K": "[10, 20]",
+                "embedding_size": str(D), "batch_size": "2048",
+                "test_batch_size": "2048", "learn_rate": "0.001",
+                "reg_lambda": "0.0001", "GCN_layer": "3",
+                "propagation_backend": "fused", "compute_dtype": mode,
+            })
+            model = get_model("LightGCN")(cfg, data)
+            model.device_put()
+            k = jax.random.PRNGKey(0)
+            params = model.init_params(k)
+            state = model.init_state(k)
+            runner = EpochRunner(model, 0.001, 2048, 2048 * 64)
+            opt_state = runner.init_opt_state(params)
+            sampler = NegativeSampler(data)
+            users, pos, neg = sampler.sample_epoch(k)
+            users, pos, neg = users[:2048 * 64], pos[:2048 * 64], neg[:2048 * 64]
+            t0 = time.time()
+            out = runner.run_epoch(params, opt_state, state, (), users, pos, neg, k, 0)
+            jax.block_until_ready(out[-1])
+            print(f"step.{mode}: compile {time.time()-t0:.0f}s", flush=True)
+            t0 = time.perf_counter()
+            out = runner.run_epoch(params, opt_state, state, (), users, pos, neg, k, 0)
+            jax.block_until_ready(out[-1])
+            dt = (time.perf_counter() - t0) / 64
+            print(f"{'step.' + mode:18s} {dt*1e3:8.3f} ms/step", flush=True)
+            results[f"step.{mode}"] = dt
+            del model, params, state, opt_state, runner
+
+    print(json.dumps({k: round(v * 1e3, 3) for k, v in results.items()}))
+
+
+if __name__ == "__main__":
+    main()
