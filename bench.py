@@ -174,15 +174,22 @@ def main() -> None:
             su = None
             continue
     if args.compute_dtype == "best" and not trials:
-        # quantized modes unavailable on this backend — exact bf16 always works
+        # quantized modes unavailable on this backend — exact bf16 always
+        # works; still fallible (same pattern as the candidate loop) so a
+        # bf16 failure reaches the clean SystemExit below, not a raw
+        # traceback
         log("all quantized modes failed; falling back to bfloat16")
-        su = make_setup("bfloat16")
-        t0 = time.time()
-        su["params"], su["opt_state"], su["state"], su["rng"], terms = su["one_epoch"](
-            su["params"], su["opt_state"], su["state"], su["rng"], 0
-        )
-        log(f"mode bfloat16: warmup epoch (compile) {time.time()-t0:.1f}s")
-        trials["bfloat16"] = (0.0, su)
+        try:
+            su = make_setup("bfloat16")
+            t0 = time.time()
+            su["params"], su["opt_state"], su["state"], su["rng"], terms = su["one_epoch"](
+                su["params"], su["opt_state"], su["state"], su["rng"], 0
+            )
+            log(f"mode bfloat16: warmup epoch (compile) {time.time()-t0:.1f}s")
+            trials["bfloat16"] = (0.0, su)
+        except Exception as e:
+            msg = str(e).splitlines()[0][:200] if str(e) else ""
+            log(f"mode bfloat16: failed ({type(e).__name__}: {msg})")
 
     if not trials:
         raise SystemExit("no benchmark mode could be set up")

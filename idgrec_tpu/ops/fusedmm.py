@@ -47,14 +47,17 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def pad_matrix(m: np.ndarray, item_multiple: int = TI) -> np.ndarray:
+def pad_matrix(m: np.ndarray, item_multiple: int = TI,
+               row_multiple: int = TU) -> np.ndarray:
     """Zero-pad an int8 [U, I] matrix to tile multiples.
 
     item_multiple: TI for the bf16 kernel (default — PANEL padding
     would add up to 4095 zero columns of pure HBM waste per sweep);
-    PANEL for the int8 path so the panelized kernel's grid divides."""
+    PACK_TILE for int4 (the nibble layout's unit); PANEL when the
+    panelized kernel's grid must divide. row_multiple: TU by default;
+    the int4 T-kernel prefers 2048-row tiles (measured faster)."""
     u, i = m.shape
-    out = np.zeros((_round_up(u, TU), _round_up(i, item_multiple)), np.int8)
+    out = np.zeros((_round_up(u, row_multiple), _round_up(i, item_multiple)), np.int8)
     out[:u, :i] = m
     return out
 
@@ -151,8 +154,8 @@ def _fused_call(m8: jnp.ndarray, zu_pad: jnp.ndarray, zi_pad: jnp.ndarray,
     )(m8, zi_pad, zu_pad)
 
 
-def fused_fits(num_items: int, d: int = 64) -> bool:
-    return _round_up(num_items, TI) * d * 4 <= MAX_YI_VMEM_BYTES
+def fused_fits(num_items: int, d: int = 64, col_multiple: int = TI) -> bool:
+    return _round_up(num_items, col_multiple) * d * 4 <= MAX_YI_VMEM_BYTES
 
 
 # ---------------------------------------------------------------------------
@@ -358,14 +361,24 @@ def fused_adj_matmul_int8(m8: jnp.ndarray, qu: jnp.ndarray, qi: jnp.ndarray,
 
 NIBBLE_MAX = 7
 
+# Logical columns per nibble-pack tile. Every int4 kernel (fused,
+# T-layout, sharded) processes PACK_TILE logical columns per grid step:
+# larger tiles mean wider MXU dots — the tile sweep on v5e
+# (scripts/microbench_tkernel.py rationale) measured the T-kernel at
+# 1.67 ms/application with 512-wide tiles vs 0.97 ms with 2048-wide.
+# PANEL must stay a PACK_TILE multiple.
+PACK_TILE = 2048
+
 
 def pack_nibbles(m8_padded: np.ndarray) -> np.ndarray:
-    """int8 [U_pad, I_pad] (values 0..NIBBLE_MAX, I_pad % TI == 0) ->
-    packed int8 [U_pad, I_pad // 2] in the per-TI-tile lo/hi layout."""
+    """int8 [U_pad, I_pad] (values 0..NIBBLE_MAX, I_pad % PACK_TILE == 0)
+    -> packed int8 [U_pad, I_pad // 2]: within each PACK_TILE-column
+    tile, the low nibble holds the FIRST half's columns and the high
+    nibble the LAST half's (no interleave)."""
     u, i = m8_padded.shape
-    assert i % TI == 0, f"I_pad={i} not a TI multiple"
+    assert i % PACK_TILE == 0, f"I_pad={i} not a PACK_TILE={PACK_TILE} multiple"
     assert m8_padded.min() >= 0 and m8_padded.max() <= NIBBLE_MAX
-    t = m8_padded.reshape(u, i // TI, 2, TI // 2).astype(np.uint8)
+    t = m8_padded.reshape(u, i // PACK_TILE, 2, PACK_TILE // 2).astype(np.uint8)
     return (t[:, :, 0, :] | (t[:, :, 1, :] << 4)).astype(np.int8).reshape(u, i // 2)
 
 
@@ -388,7 +401,7 @@ def unpack_nibbles(m4: jnp.ndarray) -> jnp.ndarray:
     """Inverse of pack_nibbles as a traced op (XLA fallback paths):
     packed int8 [U, I_pad//2] -> int8 [U, I_pad]."""
     u = m4.shape[0]
-    t = m4.reshape(u, -1, TI // 2)
+    t = m4.reshape(u, -1, PACK_TILE // 2)
     lo, hi = _unpack(t)
     return jnp.concatenate([lo, hi], axis=-1).reshape(u, 2 * m4.shape[1])
 
@@ -436,13 +449,13 @@ def _fused_int4_small_call(m4, qu, qi, interpret, tu: int):
     u_pad = m4.shape[0]
     i_pad = 2 * m4.shape[1]
     d = qi.shape[1]
-    grid = (u_pad // tu, i_pad // TI)
+    grid = (u_pad // tu, i_pad // PACK_TILE)
     return pl.pallas_call(
         _fused_kernel_int4_small,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tu, TI // 2), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TI, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tu, PACK_TILE // 2), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((PACK_TILE, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tu, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -525,17 +538,19 @@ def fused_adj_matmul_int4(m4: jnp.ndarray, qu: jnp.ndarray, qi: jnp.ndarray,
     assert tu is not None, f"u_pad={u_pad} not a 128-multiple"
     if i_pad * d * 4 <= MAX_YI_VMEM_BYTES:
         # the grid truncates (silently dropping columns) otherwise
-        assert i_pad % TI == 0, f"i_pad={i_pad} not a TI={TI} multiple"
+        assert i_pad % PACK_TILE == 0,             f"i_pad={i_pad} not a PACK_TILE={PACK_TILE} multiple"
         return _fused_int4_small_call(m4, qu, qi, interpret, tu)
     assert i_pad % PANEL == 0, f"i_pad={i_pad} not a PANEL={PANEL} multiple"
-    grid = (i_pad // PANEL, u_pad // tu, PANEL // TI)
+    grid = (i_pad // PANEL, u_pad // tu, PANEL // PACK_TILE)
     yu, yi3 = pl.pallas_call(
         _fused_kernel_int4,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tu, TI // 2), lambda p, u, j: (u, p * (PANEL // TI) + j),
+            pl.BlockSpec((tu, PACK_TILE // 2),
+                         lambda p, u, j: (u, p * (PANEL // PACK_TILE) + j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TI, d), lambda p, u, j: (p * (PANEL // TI) + j, 0),
+            pl.BlockSpec((PACK_TILE, d),
+                         lambda p, u, j: (p * (PANEL // PACK_TILE) + j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tu, d), lambda p, u, j: (u, 0), memory_space=pltpu.VMEM),
         ],
@@ -707,16 +722,16 @@ def _tkernel_int4(m_ref, qi_ref, qu_ref, yu_ref, yi_ref, yi_acc, sem):
         copy.wait()
 
 
-def _tdual_small_call(kernel, m, i_pad, qu, qi, interpret, tu, m_cols):
+def _tdual_small_call(kernel, m, i_pad, qu, qi, interpret, tu, m_cols, ti):
     u_pad = m.shape[0]
     d = qi.shape[0]
-    grid = (u_pad // tu, i_pad // TI)
+    grid = (u_pad // tu, i_pad // ti)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((tu, m_cols), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, TI), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, ti), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((d, tu), lambda i, j: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -733,7 +748,9 @@ def _tdual_small_call(kernel, m, i_pad, qu, qi, interpret, tu, m_cols):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=i_pad * d * 4 + 16 * 1024 * 1024,
+            # scratch + double-buffered matrix tiles + blocks; the
+            # 4096-row tiles exceed a flat 16 MB headroom
+            vmem_limit_bytes=i_pad * d * 4 + 12 * 1024 * 1024 + 4 * tu * m_cols,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * u_pad * i_pad * d,
@@ -828,18 +845,18 @@ def _tkernel_int4_panel(m_ref, qi_ref, qu_ref, yi_ref, yu_ref, yu_acc, sem_u):
         copy.wait()
 
 
-def _tdual_panel_call(kernel, m, i_pad, qu, qi, interpret, tu, m_cols_per_ti):
+def _tdual_panel_call(kernel, m, i_pad, qu, qi, interpret, tu, m_cols_per_ti, ti):
     u_pad = m.shape[0]
     d = qi.shape[0]
-    grid = (i_pad // PANEL, u_pad // tu, PANEL // TI)
-    nji = PANEL // TI
+    grid = (i_pad // PANEL, u_pad // tu, PANEL // ti)
+    nji = PANEL // ti
     yi, yu = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((tu, m_cols_per_ti), lambda p, u, j: (u, p * nji + j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, TI), lambda p, u, j: (0, p * nji + j),
+            pl.BlockSpec((d, ti), lambda p, u, j: (0, p * nji + j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((d, tu), lambda p, u, j: (0, u), memory_space=pltpu.VMEM),
         ],
@@ -857,7 +874,8 @@ def _tdual_panel_call(kernel, m, i_pad, qu, qi, interpret, tu, m_cols_per_ti):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
-            vmem_limit_bytes=(u_pad * d + 2 * PANEL * d) * 4 + 12 * 1024 * 1024,
+            vmem_limit_bytes=(u_pad * d + 2 * PANEL * d) * 4
+            + 12 * 1024 * 1024 + 4 * tu * m_cols_per_ti,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * u_pad * i_pad * d,
@@ -883,11 +901,11 @@ def fused_adj_matmul_int8_t(m8: jnp.ndarray, quT: jnp.ndarray, qiT: jnp.ndarray,
     if i_pad * d * 4 <= MAX_YI_VMEM_BYTES:
         assert i_pad % TI == 0, f"i_pad={i_pad} not a TI={TI} multiple"
         return _tdual_small_call(_tkernel_int8, m8, i_pad, quT, qiT,
-                                 interpret, tu, TI)
+                                 interpret, tu, TI, TI)
     assert i_pad % PANEL == 0, f"i_pad={i_pad} not a PANEL={PANEL} multiple"
     assert u_pad * d * 4 <= MAX_YU_VMEM_BYTES, "yu accumulator over budget"
     return _tdual_panel_call(_tkernel_int8_panel, m8, i_pad, quT, qiT,
-                             interpret, tu, TI)
+                             interpret, tu, TI, TI)
 
 
 def fused_adj_matmul_int4_t(m4: jnp.ndarray, quT: jnp.ndarray, qiT: jnp.ndarray,
@@ -897,13 +915,16 @@ def fused_adj_matmul_int4_t(m4: jnp.ndarray, quT: jnp.ndarray, qiT: jnp.ndarray,
     u_pad = m4.shape[0]
     i_pad = 2 * m4.shape[1]
     d = qiT.shape[0]
-    tu = pick_row_tile(u_pad)
+    # measured tile sweep (yelp2018 scale, v5e): (tu=4096, ti=2048) is
+    # the fastest int4 T configuration — 0.94 ms/application vs 1.67 at
+    # (1024, 512)
+    tu = pick_row_tile(u_pad, default=4096)
     assert tu is not None, f"u_pad={u_pad} not a 128-multiple"
     if i_pad * d * 4 <= MAX_YI_VMEM_BYTES:
-        assert i_pad % TI == 0, f"i_pad={i_pad} not a TI={TI} multiple"
+        assert i_pad % PACK_TILE == 0,             f"i_pad={i_pad} not a PACK_TILE={PACK_TILE} multiple"
         return _tdual_small_call(_tkernel_int4, m4, i_pad, quT, qiT,
-                                 interpret, tu, TI // 2)
+                                 interpret, tu, PACK_TILE // 2, PACK_TILE)
     assert i_pad % PANEL == 0, f"i_pad={i_pad} not a PANEL={PANEL} multiple"
     assert u_pad * d * 4 <= MAX_YU_VMEM_BYTES, "yu accumulator over budget"
     return _tdual_panel_call(_tkernel_int4_panel, m4, i_pad, quT, qiT,
-                             interpret, tu, TI // 2)
+                             interpret, tu, PACK_TILE // 2, PACK_TILE)

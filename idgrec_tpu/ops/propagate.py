@@ -835,7 +835,8 @@ def supports_chain_t(graph) -> bool:
     if not isinstance(graph, FusedSquareAdj) or graph.quant not in ("int8", "int4"):
         return False
     u_pad, i_pad = graph.padded_shape
-    if i_pad % fusedmm.TI != 0 or fusedmm.pick_row_tile(u_pad) is None:
+    col_mult = fusedmm.PACK_TILE if graph.quant == "int4" else fusedmm.TI
+    if i_pad % col_mult != 0 or fusedmm.pick_row_tile(u_pad) is None:
         return False
     from idgrec_tpu.parallel import mesh as mesh_lib
 
@@ -1113,13 +1114,21 @@ def build_adjacency(
         return BitSquareAdj(p, pt, lu, li, ru, ri, diag_u, diag_i,
                             nu, ni, has_diag, _bitpack_interpret())
     if backend == "fused":
+        # int4's nibble layout is PACK_TILE-granular; int8 kernels are
+        # TI-granular. PANEL only when the panelized (big-graph) kernel
+        # will run — its grid must divide, and padding to PANEL when the
+        # single-panel kernel fits would be 4095 columns of pure waste.
+        fine_mult = fusedmm.PACK_TILE if quant == "int4" else fusedmm.TI
         if quant == "none" or (
-            emb_size is not None and fusedmm.fused_fits(data.num_items, emb_size)
+            emb_size is not None
+            and fusedmm.fused_fits(data.num_items, emb_size, fine_mult)
         ):
-            item_mult = fusedmm.TI
+            item_mult = fine_mult
         else:
             item_mult = fusedmm.PANEL
-        m_np = fusedmm.pad_matrix(_count_matrix_int8(data), item_mult)
+        row_mult = 2048 if quant == "int4" else fusedmm.TU
+        m_np = fusedmm.pad_matrix(_count_matrix_int8(data), item_mult,
+                                  row_multiple=row_mult)
         if quant == "int4":
             if int(m_np.max(initial=0)) > fusedmm.NIBBLE_MAX:
                 raise ValueError(

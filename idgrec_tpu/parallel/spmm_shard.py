@@ -125,10 +125,11 @@ def _local_dual_int4(m_k, qu_k, qi_all, interpret):
     u_loc = m_k.shape[0]
     i_pad = 2 * m_k.shape[1]
     d = qi_all.shape[1]
-    # same dispatch mirror as _local_dual_int8 (grid-truncation guard)
+    # same dispatch mirror as _local_dual_int8 (grid-truncation guard);
+    # int4 kernels are PACK_TILE-granular in the column dimension
     small_fits = i_pad * d * 4 <= fusedmm.MAX_YI_VMEM_BYTES
     kernel_ok = (
-        (small_fits and i_pad % fusedmm.TI == 0)
+        (small_fits and i_pad % fusedmm.PACK_TILE == 0)
         or (not small_fits and i_pad % fusedmm.PANEL == 0
             and u_loc * d * 4 <= fusedmm.MAX_YU_VMEM_BYTES)
     )

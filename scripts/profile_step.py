@@ -33,6 +33,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from idgrec_tpu.compile_cache import enable as _enable_cache
+
+_enable_cache()
+
 from idgrec_tpu.ops import fusedmm
 from idgrec_tpu.ops.fusedmm import TI, pick_row_tile
 from idgrec_tpu.ops.propagate import _quantize_cols
@@ -49,6 +53,12 @@ def chain_time(name, fn, *args, steps=STEPS, flops=None, bytes_=None,
     `statics`: large device arrays fn needs (adjacency matrices etc.),
     passed as jit ARGUMENTS — a closure would embed them as program
     constants and overflow the axon remote-compile request body.
+
+    Sync discipline: the axon tunnel's block_until_ready does not
+    reliably wait for remote execution, so the run returns a SCALAR
+    derived from every carry and the timer waits on its host fetch.
+    The measured wall time includes one tunnel round trip (~31 ms),
+    subtracted via the RTT estimate below.
     """
     @jax.jit
     def run(statics, *a):
@@ -63,16 +73,17 @@ def chain_time(name, fn, *args, steps=STEPS, flops=None, bytes_=None,
             )
             return new, ()
         final, _ = jax.lax.scan(body, a, None, length=steps)
-        return final
+        return sum(jnp.asarray(x.ravel()[0], jnp.float32) for x in final)
 
     t0 = time.time()
-    out = run(statics, *args)
-    jax.block_until_ready(out)
+    out = float(run(statics, *args))
     compile_s = time.time() - t0
-    t0 = time.perf_counter()
-    out = run(statics, *args)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / steps
+    best = 1e9
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = float(run(statics, *args))
+        best = min(best, time.perf_counter() - t0)
+    dt = (best - 0.031) / steps
     extra = ""
     if bytes_:
         extra += f"  {bytes_/dt/1e9:7.0f} GB/s"
@@ -257,7 +268,8 @@ def main():
 
         data = make_synthetic_dataset(U, I, NNZ, 1000, seed=0, name="prof")
         for mode in ("int8", "int4"):
-            adj = build_adjacency(data, "sym", "fused", compute_dtype=mode)
+            adj = build_adjacency(data, "sym", "fused", compute_dtype=mode,
+                                  emb_size=D)
             x0 = jnp.asarray(
                 rng.standard_normal((U + I, D)) * 0.1, jnp.float32)
 
@@ -273,8 +285,10 @@ def main():
                 f"app.{mode}", app2, x0, statics=tuple(leaves))
             del adj
         if "propagate" in parts:
-            adj = build_adjacency(data, "sym", "fused", compute_dtype="int4")
+            from idgrec_tpu.ops.propagate import fused_chain_t
 
+            adj = build_adjacency(data, "sym", "fused", compute_dtype="int4",
+                                  emb_size=D)
             leaves, treedef = jax.tree.flatten(adj)
 
             def prop(x, *leaves, _td=treedef):
@@ -286,8 +300,24 @@ def main():
                     outs.append(h)
                 return (sum(outs) / 4.0,)
 
-            results["propagate3.int4"] = chain_time(
-                "propagate3.int4", prop, x0, statics=tuple(leaves))
+            results["prop3.perapp"] = chain_time(
+                "prop3.perapp", prop, x0, statics=tuple(leaves))
+
+            def propc(x, *leaves, _td=treedef):
+                _adj = jax.tree.unflatten(_td, leaves)
+                return (fused_chain_t(_adj, x, 3, True, "mean"),)
+
+            results["prop3.chain"] = chain_time(
+                "prop3.chain", propc, x0, statics=tuple(leaves))
+
+            def propg(x, *leaves, _td=treedef):
+                _adj = jax.tree.unflatten(_td, leaves)
+                g = jax.grad(lambda v: jnp.sum(
+                    fused_chain_t(_adj, v, 3, True, "mean") ** 2))(x)
+                return (g,)
+
+            results["prop3.chain+bwd"] = chain_time(
+                "prop3.chain+bwd", propg, x0, statics=tuple(leaves))
             del adj
 
     if "step" in parts:
@@ -319,12 +349,12 @@ def main():
             users, pos, neg = users[:2048 * 64], pos[:2048 * 64], neg[:2048 * 64]
             t0 = time.time()
             out = runner.run_epoch(params, opt_state, state, (), users, pos, neg, k, 0)
-            jax.block_until_ready(out[-1])
+            _ = np.asarray(out[-1])  # host fetch = real sync
             print(f"step.{mode}: compile {time.time()-t0:.0f}s", flush=True)
             t0 = time.perf_counter()
             out = runner.run_epoch(params, opt_state, state, (), users, pos, neg, k, 0)
-            jax.block_until_ready(out[-1])
-            dt = (time.perf_counter() - t0) / 64
+            _ = np.asarray(out[-1])
+            dt = (time.perf_counter() - t0 - 0.031) / 64
             print(f"{'step.' + mode:18s} {dt*1e3:8.3f} ms/step", flush=True)
             results[f"step.{mode}"] = dt
             del model, params, state, opt_state, runner

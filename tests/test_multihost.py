@@ -70,7 +70,20 @@ def _run_cluster(nproc: int, local_devices: int, out_path: str, _retries: int = 
         outs.append(out.decode(errors="replace"))
     if any(p.returncode != 0 for p in procs):
         joined = "\n".join(outs)
-        if _retries > 0 and any(m in joined for m in _FLAKE_MARKERS):
+        matched = [m for m in _FLAKE_MARKERS if m in joined]
+        if _retries > 0 and matched:
+            # visible in the test report (-s / captured output) so a
+            # masked-flake spike is observable in CI, not silent: print
+            # which marker fired and the failing worker's tail
+            failing = next(
+                (i, out) for i, (p, out) in enumerate(zip(procs, outs))
+                if p.returncode != 0)
+            print(
+                f"[test_multihost] RETRY {3 - _retries}: flake marker(s) "
+                f"{matched!r} matched; worker {failing[0]} tail:\n"
+                f"{failing[1][-1500:]}",
+                file=sys.stderr, flush=True,
+            )
             # fresh out_path: the worker derives its checkpoint dir from
             # it (out_path + ".ck"), and a first attempt that timed out
             # AFTER training may have left a completed ckpt_2 behind —

@@ -422,9 +422,9 @@ def test_pack_nibbles_roundtrip():
 
     rng = np.random.default_rng(0)
     m = rng.integers(0, fusedmm.NIBBLE_MAX + 1,
-                     size=(256, 2 * fusedmm.TI)).astype(np.int8)
+                     size=(256, 2 * fusedmm.PACK_TILE)).astype(np.int8)
     packed = fusedmm.pack_nibbles(m)
-    assert packed.shape == (256, fusedmm.TI)
+    assert packed.shape == (256, fusedmm.PACK_TILE)
     back = np.asarray(fusedmm.unpack_nibbles(jnp.asarray(packed)))
     np.testing.assert_array_equal(back, m)
 
@@ -433,7 +433,7 @@ def test_int4_kernel_matches_int8_kernel():
     from idgrec_tpu.ops import fusedmm
 
     rng = np.random.default_rng(1)
-    U, I = 256, 2 * fusedmm.TI
+    U, I = 256, 2 * fusedmm.PACK_TILE
     m8 = rng.integers(0, 2, size=(U, I)).astype(np.int8)
     qu = jnp.asarray(rng.integers(-10, 11, size=(U, 8), dtype=np.int8))
     qi = jnp.asarray(rng.integers(-10, 11, size=(I, 8), dtype=np.int8))
