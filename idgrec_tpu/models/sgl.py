@@ -65,8 +65,6 @@ class SGL(RecModel):
             data, self.backend, copies=2, compute_dtype=self.compute_dtype
         )
         self.graph = build_adjacency(data, "sym", self.backend, compute_dtype=self.compute_dtype, emb_size=self.embedding_size)
-        # shared matrix state for dropout views (uploaded once)
-        self._m_bin = build_dropout_shared(data, self.backend)
         # feature-batched propagation: all 3 chains (clean + 2 views)
         # share ONE sweep of the binary matrix per layer
         # (shared_chain_matmul) — valid when the clean operator also
@@ -78,6 +76,28 @@ class SGL(RecModel):
             and self.graph.quant == "none"
             and bool(np.all(data.csr_vals == 1))
         )
+        # quantized twin: the fused backend's m8 IS the shared binary
+        # matrix when counts are binary, so all 3 chains feature-batch
+        # into one [3d, N] quantized T-kernel sweep per layer
+        # (ops/propagate.fused_chain_views_t); mesh/VMEM fit is checked
+        # at trace time (supports_chain_views_t)
+        from idgrec_tpu.ops.propagate import FusedSquareAdj
+
+        self._batched_quant = (
+            isinstance(self.graph, FusedSquareAdj)
+            and self.graph.quant in ("int8", "int4")
+            and not self.graph.has_diag
+            and bool(np.all(data.csr_vals == 1))
+        )
+        # shared matrix state for dropout views (uploaded once). Under
+        # int8 quant with binary counts the padded m8 IS the binary
+        # matrix — alias it instead of uploading a second ~1.2 GB copy
+        # (DenseDropSquareAdj handles padded m_bin; the views' own
+        # matmul only runs on the non-batched fallback path)
+        if self._batched_quant and self.graph.quant == "int8":
+            self._m_bin = self.graph.m8
+        else:
+            self._m_bin = build_dropout_shared(data, self.backend)
 
     def epoch_context(self, params, state, epoch, np_rng):
         """Two augmented graphs per epoch (SGL.py:130-143); for 'rw'
@@ -109,6 +129,14 @@ class SGL(RecModel):
         """(final, view1, view2) — batched single-sweep path when the
         dense backend + binary counts allow it, else three passes."""
         graphs_1, graphs_2 = ctx
+        if self._batched_quant:
+            from idgrec_tpu.ops import propagate as _prop
+
+            if _prop.supports_chain_views_t(self.graph, 3, emb0.shape[1]):
+                final, v1, v2 = _prop.fused_chain_views_t(
+                    self.graph, (graphs_1, graphs_2), emb0, self.num_layers
+                )
+                return final, v1, v2
         if not self._batched:
             return (
                 lightgcn_propagate(self.graph, emb0, self.num_layers),

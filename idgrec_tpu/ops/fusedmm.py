@@ -42,6 +42,22 @@ TI = 512   # item cols per tile
 # for tiles and double buffering.
 MAX_YI_VMEM_BYTES = 11 * 1024 * 1024
 
+# Wide-activation (feature-batched multi-chain, d > 64) allowance: v5e
+# accepts the single-panel kernels with yi accumulators up to ~38 MB
+# (measured, scripts/microbench_wide.py — int8 T d=256 compiles and
+# runs at 339 TOP/s). Kept separate from MAX_YI_VMEM_BYTES so the
+# tuned d<=64 routing (incl. the panelized big-graph path) is
+# unchanged. The int4 NON-transposed small kernel does NOT compile at
+# d=192 on v5e (tpu_compile_helper crash) — wide int4 must route
+# through the T-kernel (fused_adj_matmul_int4_t), which does.
+MAX_YI_VMEM_BYTES_WIDE = 39 * 1024 * 1024
+
+
+def yi_budget(d: int) -> int:
+    """yi-accumulator VMEM budget for feature width d (see
+    MAX_YI_VMEM_BYTES_WIDE rationale)."""
+    return MAX_YI_VMEM_BYTES if d <= 64 else MAX_YI_VMEM_BYTES_WIDE
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -303,7 +319,7 @@ def fused_adj_matmul_int8(m8: jnp.ndarray, qu: jnp.ndarray, qi: jnp.ndarray,
     d = qi.shape[1]
     tu = pick_row_tile(u_pad)
     assert tu is not None, f"u_pad={u_pad} not a 128-multiple"
-    if i_pad * d * 4 <= MAX_YI_VMEM_BYTES:
+    if i_pad * d * 4 <= yi_budget(d):
         # the grid truncates (silently dropping columns) otherwise
         assert i_pad % TI == 0, f"i_pad={i_pad} not a TI={TI} multiple"
         return _fused_small_call(m8, qu, qi, interpret, tu)
@@ -898,7 +914,7 @@ def fused_adj_matmul_int8_t(m8: jnp.ndarray, quT: jnp.ndarray, qiT: jnp.ndarray,
     d = qiT.shape[0]
     tu = pick_row_tile(u_pad)
     assert tu is not None, f"u_pad={u_pad} not a 128-multiple"
-    if i_pad * d * 4 <= MAX_YI_VMEM_BYTES:
+    if i_pad * d * 4 <= yi_budget(d):
         assert i_pad % TI == 0, f"i_pad={i_pad} not a TI={TI} multiple"
         return _tdual_small_call(_tkernel_int8, m8, i_pad, quT, qiT,
                                  interpret, tu, TI, TI)
@@ -920,7 +936,7 @@ def fused_adj_matmul_int4_t(m4: jnp.ndarray, quT: jnp.ndarray, qiT: jnp.ndarray,
     # (1024, 512)
     tu = pick_row_tile(u_pad, default=4096)
     assert tu is not None, f"u_pad={u_pad} not a 128-multiple"
-    if i_pad * d * 4 <= MAX_YI_VMEM_BYTES:
+    if i_pad * d * 4 <= yi_budget(d):
         assert i_pad % PACK_TILE == 0,             f"i_pad={i_pad} not a PACK_TILE={PACK_TILE} multiple"
         return _tdual_small_call(_tkernel_int4, m4, i_pad, quT, qiT,
                                  interpret, tu, PACK_TILE // 2, PACK_TILE)

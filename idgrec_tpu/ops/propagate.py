@@ -782,13 +782,40 @@ class FusedSquareAdj:
             zu_p = _pad_rows(zu, u_pad)
             zi_p = _pad_rows(zi, i_pad)
             d = x.shape[1]
+            # wide activations (feature-batched chains, d > 64) fit the
+            # single-panel kernels under the measured v5e allowance
+            # (fusedmm.yi_budget) — EXCEPT the untransposed int4 small
+            # kernel, which does not compile at d=192 on v5e; wide int4
+            # routes through the T-kernel with boundary transposes
+            # (bit-identical results, ~0.6 ms of transpose traffic vs
+            # the XLA fallback's per-application nibble unpack)
             kernel_fits = (
-                i_pad * d * 4 <= fusedmm.MAX_YI_VMEM_BYTES  # single-panel
-                or u_pad * d * 4 <= fusedmm.MAX_YU_VMEM_BYTES  # panelized
+                i_pad * d * 4 <= fusedmm.yi_budget(d)  # single-panel
+                or (
+                    i_pad % fusedmm.PANEL == 0  # TI-padded builds have no panel path
+                    and u_pad * d * 4 <= fusedmm.MAX_YU_VMEM_BYTES  # panelized
+                )
             )
-            if kernel_fits and self.quant == "int4":
+            # int4 dispatch: the tuned small kernel at d <= 64; wide
+            # activations go through the T-kernel (the untransposed
+            # int4 small kernel does not compile at d=192 on v5e, and
+            # int4 matrices are PACK_TILE-padded, not PANEL-padded, so
+            # the panelized path only applies when built for it)
+            int4_small = i_pad * d * 4 <= fusedmm.MAX_YI_VMEM_BYTES
+            int4_panel = (
+                i_pad % fusedmm.PANEL == 0
+                and u_pad * d * 4 <= fusedmm.MAX_YU_VMEM_BYTES
+            )
+            if self.quant == "int4" and not int4_small and (
+                i_pad * d * 4 <= fusedmm.yi_budget(d)
+            ):
+                yuT, yiT = quant_fused_dual_t(
+                    self.m8, zi_p.T, zu_p.T, "int4", self.interpret
+                )
+                yu, yi = yuT.T, yiT.T
+            elif self.quant == "int4" and (int4_small or int4_panel):
                 yu, yi = quant_fused_dual4(self.m8, zi_p, zu_p, self.interpret)
-            elif kernel_fits:
+            elif self.quant == "int8" and kernel_fits:
                 yu, yi = quant_fused_dual(self.m8, zi_p, zu_p, self.interpret)
             else:  # both accumulators over VMEM budget: XLA int8 matmuls
                 if self.quant == "int4":
@@ -914,6 +941,130 @@ def fused_chain_t(
     else:
         raise ValueError(f"unknown reduce {reduce!r}")
     return _back((cu, ci)).astype(emb0.dtype)
+
+
+def supports_chain_views_t(graph, n_chains: int, d: int) -> bool:
+    """True when `fused_chain_views_t` applies: `supports_chain_t`
+    conditions plus the [n_chains*d, I_pad] yi accumulator fitting the
+    wide VMEM allowance (fusedmm.yi_budget)."""
+    if not supports_chain_t(graph) or graph.has_diag:
+        return False
+    _, i_pad = graph.padded_shape
+    wd = n_chains * d
+    return i_pad * wd * 4 <= fusedmm.yi_budget(wd)
+
+
+def fused_chain_views_t(
+    adj: "FusedSquareAdj",
+    view_lists,
+    emb0: jnp.ndarray,
+    num_layers: int,
+    include_layer0: bool = True,
+    reduce: str = "mean",
+):
+    """Quantized multi-chain propagation: the clean chain plus k-1
+    edge-dropout view chains share ONE fused T-kernel sweep of
+    ``adj.m8`` per layer, feature-batched as [k*d, N] activations.
+
+    SGL-style models (reference models/SGL.py:60-89) propagate 3
+    chains per step whose operators all factor over the SAME binary
+    interaction matrix: Â_v = diag(L_v)·(M − D_v)·diag(R_v) with tiny
+    per-view dropped-edge sets D_v (tools.py:67-92). The step is
+    HBM-bound on reading M, so batching divides adjacency traffic by k
+    (measured on v5e, scripts/microbench_wide.py: one int8 d=192 sweep
+    = 2.89 ms vs 3 × 2.02 ms separate). Per-view corrections subtract
+    the dropped edges with sorted segment-sums over ~ratio·nnz entries
+    on the UNQUANTIZED right-scaled activations (same semantics as
+    `shared_chain_matmul`); the kernel's straight-through VJP keeps the
+    whole backward chain batched and transposed too.
+
+    Requires binary interaction counts — ``adj.m8`` must BE the shared
+    binary matrix the views factor over (callers check
+    ``np.all(data.csr_vals == 1)``) — and ``has_diag == False``.
+
+    view_lists: one tuple per view chain, containing the view adjacency
+    for each layer ('ed': a 1-tuple shared across layers; 'rw': one per
+    layer — SGL.py:130-143). Entries need only carry left_u/left_i/
+    right_u/right_i and the sorted drop lists (DenseDropSquareAdj
+    fields). Returns [clean, view_1, ..., view_{k-1}] in [N, d] layout;
+    the clean output is bit-identical to `fused_chain_t`.
+    """
+    assert not adj.has_diag, "chain-views path assumes no self-loop diag"
+    nu, ni = adj.num_users, adj.num_items
+    u_pad, i_pad = adj.padded_shape
+    d = emb0.shape[1]
+    k = 1 + len(view_lists)
+
+    def pad_u(v):
+        return jnp.pad(v, (0, u_pad - nu))[None, :]
+
+    def pad_i(v):
+        return jnp.pad(v, (0, i_pad - ni))[None, :]
+
+    xT = emb0.astype(jnp.float32).T
+    hu0 = jnp.pad(xT[:, :nu], ((0, 0), (0, u_pad - nu)))
+    hi0 = jnp.pad(xT[:, nu:], ((0, 0), (0, i_pad - ni)))
+    hus, his = [hu0] * k, [hi0] * k
+    # per-chain layer stacks, reduced exactly like fused_chain_t
+    # (jnp.mean over the stacked layers) so the clean chain stays
+    # BIT-identical to the single-chain path
+    layer_u = [[h] for h in hus] if include_layer0 else [[] for _ in range(k)]
+    layer_i = [[h] for h in his] if include_layer0 else [[] for _ in range(k)]
+
+    for layer in range(num_layers):
+        views = [vl[layer % len(vl)] for vl in view_lists]
+        chain_r = [(adj.right_u, adj.right_i)] + [
+            (v.right_u, v.right_i) for v in views
+        ]
+        chain_l = [(adj.left_u, adj.left_i)] + [
+            (v.left_u, v.left_i) for v in views
+        ]
+        zi_list = [pad_i(ri) * hi for (_, ri), hi in zip(chain_r, his)]
+        zu_list = [pad_u(ru) * hu for (ru, _), hu in zip(chain_r, hus)]
+        yuT, yiT = quant_fused_dual_t(
+            adj.m8,
+            jnp.concatenate(zi_list, axis=0),
+            jnp.concatenate(zu_list, axis=0),
+            adj.quant,
+            adj.interpret,
+        )
+        hus, his = [], []
+        for c in range(k):
+            yu = yuT[c * d : (c + 1) * d]
+            yi = yiT[c * d : (c + 1) * d]
+            if c > 0:
+                v = views[c - 1]
+                gu = jnp.take(zi_list[c], v.du_cols, axis=1) * v.du_vals[None, :]
+                corr_u = jax.ops.segment_sum(
+                    gu.T, v.du_rows, num_segments=nu, indices_are_sorted=True
+                ).T
+                gi = jnp.take(zu_list[c], v.di_cols, axis=1) * v.di_vals[None, :]
+                corr_i = jax.ops.segment_sum(
+                    gi.T, v.di_rows, num_segments=ni, indices_are_sorted=True
+                ).T
+                yu = yu - jnp.pad(corr_u, ((0, 0), (0, u_pad - nu)))
+                yi = yi - jnp.pad(corr_i, ((0, 0), (0, i_pad - ni)))
+            lu, li = chain_l[c]
+            hus.append(pad_u(lu) * yu)
+            his.append(pad_i(li) * yi)
+        for c in range(k):
+            layer_u[c].append(hus[c])
+            layer_i[c].append(his[c])
+
+    outs = []
+    for c in range(k):
+        su = jnp.stack(layer_u[c], axis=0)
+        si = jnp.stack(layer_i[c], axis=0)
+        if reduce == "mean":
+            au, ai = jnp.mean(su, axis=0), jnp.mean(si, axis=0)
+        elif reduce == "sum":
+            au, ai = jnp.sum(su, axis=0), jnp.sum(si, axis=0)
+        else:
+            raise ValueError(f"unknown reduce {reduce!r}")
+        outs.append(
+            jnp.concatenate([au[:, :nu], ai[:, :ni]], axis=1).T.astype(emb0.dtype)
+        )
+    return outs
 
 
 @partial(jax.tree_util.register_dataclass,

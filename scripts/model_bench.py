@@ -30,6 +30,9 @@ def main() -> None:
     ap.add_argument("--models", default=None, help="comma list; default all")
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--batch-size", type=int, default=2048)
+    ap.add_argument("--compute-dtype", default=None,
+                    help="override compute_dtype for every model "
+                         "(bfloat16 | int8 | int4)")
     args = ap.parse_args()
 
     from idgrec_tpu.compile_cache import enable
@@ -56,6 +59,8 @@ def main() -> None:
             cfg_dict.update({
                 "dataset": data.name, "batch_size": str(args.batch_size),
             })
+            if args.compute_dtype:
+                cfg_dict["compute_dtype"] = args.compute_dtype
             cfg = Config(cfg_dict)
             model = get_model(name)(cfg, data)
             model.device_put()
