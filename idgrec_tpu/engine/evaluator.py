@@ -127,9 +127,9 @@ class Evaluator:
         self.top_ks = tuple(config.int_list("top_K"))
         self.max_k = max(self.top_ks)
         # 'exact' = lax.top_k (reference parity); 'approx' = the TPU
-        # approx_max_k custom op (~4× faster sweep; default recall
-        # target 0.95 — rank-20 recall measured >0.999 on real score
-        # distributions since true top scores are far from the bulk)
+        # approx_max_k custom op at recall_target 0.99 — measured
+        # on-chip at yelp scale: Recall/NDCG@20 within 1e-3 of exact,
+        # 1.3-1.6× faster sweep (docs/evidence/approx_topk.json)
         self.topk_mode = config.str("eval_topk", "exact")
         batch_size = config.int("test_batch_size")
         self.plan = build_eval_plan(data, batch_size, users=users)
@@ -204,7 +204,13 @@ class Evaluator:
             if self._items_sharded:
                 topk_idx = self._topk_items_sharded(ratings)
             elif self.topk_mode == "approx":
-                _, topk_idx = jax.lax.approx_max_k(ratings, self.max_k)
+                # recall_target 0.99 (not the 0.95 default): measured
+                # on-chip at yelp scale it holds Recall/NDCG@20 within
+                # 1e-3 of exact while keeping most of the sweep speedup
+                # (docs/evidence/approx_topk.json)
+                _, topk_idx = jax.lax.approx_max_k(
+                    ratings, self.max_k, recall_target=0.99
+                )
             else:
                 _, topk_idx = jax.lax.top_k(ratings, self.max_k)
             m = topk_metric_sums(topk_idx, b_truth, self.top_ks, valid=b_valid)

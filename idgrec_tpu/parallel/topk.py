@@ -51,7 +51,10 @@ def sharded_topk(ratings: jnp.ndarray, mesh, k: int, approx: bool = False):
         width = r_k.shape[1]
         kk = min(k, width)
         if approx and width > kk:
-            vals, idx = jax.lax.approx_max_k(r_k, kk)
+            # same recall_target as the single-chip evaluator path
+            # (evaluator.py): 0.99 holds @20 metrics within 1e-3 of
+            # exact on measured score distributions
+            vals, idx = jax.lax.approx_max_k(r_k, kk, recall_target=0.99)
         else:
             vals, idx = jax.lax.top_k(r_k, kk)
         idx = idx + jax.lax.axis_index(_MODEL_AXIS) * width

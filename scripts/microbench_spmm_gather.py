@@ -1,0 +1,126 @@
+"""Roofline microbench for the sparse (gather) propagation backend.
+
+VERDICT r2 asked for a Pallas sorted-COO segment-sum kernel with >= 3x
+over the XLA gather+segment-sum path (ops/spmm.py). Whether that is
+*possible* on v5e depends on where the XLA path sits relative to the
+hardware bounds for the same access pattern:
+
+* sequential bound — total bytes moved (random row reads of x +
+  sequential edge arrays + segment-sum output) at full HBM bandwidth.
+  Only reachable if random row access were free.
+* descriptor bound — per-row DMA issue costs ~1 us on v5e (measured in
+  ops/gathermm.py: per-row gathers cap at ~12-38 GB/s). A Pallas
+  kernel that fetches x rows edge-by-edge or row-by-row pays this.
+
+This script measures the XLA path (fwd and fwd+bwd) at yelp2018 scale
+on the real chip, derives its effective random-row bandwidth, and
+prints both bounds. If XLA already sits at/above the descriptor bound,
+a Pallas kernel built from per-row DMAs cannot deliver 3x — the win
+would have to come from a fundamentally different formulation (the
+dense int8/int4 factorization this repo uses in-budget, or lane-wise
+tpu.dynamic_gather tiling; see docs/SCALING.md "Sparse backend
+roofline").
+
+Usage: python scripts/microbench_spmm_gather.py [--d 64] [--iters 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--d", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args()
+
+    from idgrec_tpu.compile_cache import enable as _enable_cache
+
+    _enable_cache()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from idgrec_tpu.data.dataset import make_synthetic_dataset
+    from idgrec_tpu.data.graph import normalized_adjacency
+    from idgrec_tpu.ops.spmm import spmm
+    from idgrec_tpu.ops.propagate import build_adjacency
+
+    data = make_synthetic_dataset(31668, 38048, 1237259, 1000, seed=0,
+                                  name="yelp2018-scale")
+    g = normalized_adjacency(data, cache=False)  # [U+I, U+I] sym COO
+    n = data.num_users + data.num_items
+    d = args.d
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(n, d)),
+                    jnp.float32)
+    nnz = int(g.rows.shape[0])
+
+    fwd = jax.jit(lambda x: spmm(g, x))
+    y = fwd(x)
+    y.block_until_ready()
+    t0 = time.time()
+    for _ in range(args.iters):
+        y = fwd(x)
+    y.block_until_ready()
+    fwd_s = (time.time() - t0) / args.iters
+
+    loss = jax.jit(jax.grad(lambda x: jnp.sum(spmm(g, x) ** 2)))
+    gx = loss(x)
+    gx.block_until_ready()
+    t0 = time.time()
+    for _ in range(args.iters):
+        gx = loss(x)
+    gx.block_until_ready()
+    fwdbwd_s = (time.time() - t0) / args.iters
+
+    # dense int8 fused application for contrast (same logical op)
+    adj = build_adjacency(data, "sym", "fused", compute_dtype="int8",
+                          emb_size=d)
+    dense_fwd = jax.jit(lambda x: adj.matmul(x))
+    yd = dense_fwd(x)
+    yd.block_until_ready()
+    t0 = time.time()
+    for _ in range(args.iters):
+        yd = dense_fwd(x)
+    yd.block_until_ready()
+    dense_s = (time.time() - t0) / args.iters
+
+    # byte accounting for ONE forward application:
+    #  random row reads of x: nnz * d * 4 B
+    #  edge arrays (rows/cols/vals), sequential: nnz * 12 B
+    #  output write: n * d * 4 B
+    random_bytes = nnz * d * 4
+    seq_bytes = nnz * 12 + n * d * 4
+    hbm_gbps = 670.0  # measured effective (docs/SCALING.md)
+    seq_bound_s = (random_bytes + seq_bytes) / (hbm_gbps * 1e9)
+    # descriptor bound: one DMA per edge row fetch at ~1 us issue,
+    # 8 parallel queues best case (gathermm measured 12-38 GB/s for
+    # 256 B rows => 21-148 ns/row effective; take the measured best)
+    desc_bound_s = random_bytes / (38e9)
+    eff_random_gbps = random_bytes / fwd_s / 1e9
+
+    out = {
+        "platform": jax.default_backend(),
+        "nnz": nnz, "n": n, "d": d,
+        "xla_fwd_ms": round(fwd_s * 1e3, 3),
+        "xla_fwdbwd_ms": round(fwdbwd_s * 1e3, 3),
+        "dense_int8_fwd_ms": round(dense_s * 1e3, 3),
+        "seq_bound_ms": round(seq_bound_s * 1e3, 3),
+        "descriptor_bound_ms": round(desc_bound_s * 1e3, 3),
+        "xla_effective_random_gbps": round(eff_random_gbps, 1),
+        "xla_vs_descriptor_bound": round(desc_bound_s / fwd_s, 2),
+        "max_err_vs_dense": float(jnp.max(jnp.abs(y - yd))),
+    }
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()
