@@ -227,7 +227,7 @@ def lightgcn_propagate(
         )
     from idgrec_tpu.ops import propagate as _prop
 
-    if num_layers > 0 and _prop.supports_chain_t(graph):
+    if num_layers > 0 and _prop.supports_chain_t(graph, emb0.shape[1]):
         # quantized fused backend: run the whole chain in transposed
         # [d, N] layout (N-wide MXU dots, ~1.6x faster per application
         # — ops/propagate.fused_chain_t); bit-identical results
@@ -299,7 +299,7 @@ def lightgcn_layer_outputs(
     contrast across (models/NCL.py:48-64, models/CGCL.py:44-60)."""
     from idgrec_tpu.ops import propagate as _prop
 
-    if num_layers > 0 and _prop.supports_chain_t(graph):
+    if num_layers > 0 and _prop.supports_chain_t(graph, emb0.shape[1]):
         return _prop.fused_chain_t(graph, emb0, num_layers,
                                    include_layer0=True, reduce=None)
     outs = [emb0]

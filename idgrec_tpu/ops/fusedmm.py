@@ -63,6 +63,20 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def tdual_fits(u_pad: int, i_pad: int, d: int) -> bool:
+    """Whether the transposed dual kernels (fused_adj_matmul_int{8,4}_t)
+    can host a d-wide application: the single-panel path needs the whole
+    [d, I_pad] yi accumulator within the wide VMEM allowance; otherwise
+    the panelized path needs PANEL-divisible columns and the [d, U_pad]
+    yu accumulator within budget. Mirrors the asserts inside the _t
+    dispatchers so callers can decline BEFORE tracing — e.g. RecDCL's
+    reference d=2048 (RecDCL.py emb_size config) puts both accumulators
+    ~300 MB over VMEM and must take the XLA int8-matmul fallback."""
+    if i_pad * d * 4 <= yi_budget(d):
+        return True
+    return i_pad % PANEL == 0 and u_pad * d * 4 <= MAX_YU_VMEM_BYTES
+
+
 def pad_matrix(m: np.ndarray, item_multiple: int = TI,
                row_multiple: int = TU) -> np.ndarray:
     """Zero-pad an int8 [U, I] matrix to tile multiples.

@@ -855,15 +855,21 @@ class FusedSquareAdj:
         return jnp.concatenate([yu, yi], axis=0).astype(x.dtype)
 
 
-def supports_chain_t(graph) -> bool:
+def supports_chain_t(graph, d: int | None = None) -> bool:
     """True when `fused_chain_t` applies: quantized fused backend with
     no active model-parallel mesh (the sharded path has its own
-    per-shard kernels and collective structure)."""
+    per-shard kernels and collective structure). When the feature width
+    ``d`` is given, additionally require the T-kernel accumulators to
+    fit VMEM (fusedmm.tdual_fits) — very wide models (RecDCL's
+    reference d=2048) must decline here and take the per-application
+    XLA fallback instead of tripping the kernel's budget assert."""
     if not isinstance(graph, FusedSquareAdj) or graph.quant not in ("int8", "int4"):
         return False
     u_pad, i_pad = graph.padded_shape
     col_mult = fusedmm.PACK_TILE if graph.quant == "int4" else fusedmm.TI
     if i_pad % col_mult != 0 or fusedmm.pick_row_tile(u_pad) is None:
+        return False
+    if d is not None and not fusedmm.tdual_fits(u_pad, i_pad, d):
         return False
     from idgrec_tpu.parallel import mesh as mesh_lib
 

@@ -595,6 +595,32 @@ def test_chain_t_declines_under_model_mesh(tiny_dataset):
             assert not prop.supports_chain_t(adj)
 
 
+def test_chain_t_declines_when_accumulators_over_budget(tiny_dataset):
+    """Very wide features (RecDCL's reference d=2048) must decline the
+    T-kernel chain BEFORE tracing — the kernel's VMEM accumulator
+    asserts are unreachable from model code — and the per-application
+    matmul must fall back to XLA int8 matmuls without error."""
+    from idgrec_tpu.ops import fusedmm, propagate as prop
+
+    adj = build_adjacency(tiny_dataset, "sym", "fused", compute_dtype="int8",
+                          emb_size=8)
+    u_pad, i_pad = adj.padded_shape
+    assert prop.supports_chain_t(adj, 8)
+    # width that blows both the yi and yu budgets for this matrix
+    d_huge = (max(fusedmm.MAX_YI_VMEM_BYTES_WIDE // i_pad,
+                  fusedmm.MAX_YU_VMEM_BYTES // u_pad) // 4) + 128
+    assert not prop.supports_chain_t(adj, d_huge)
+    assert not fusedmm.tdual_fits(u_pad, i_pad, d_huge)
+    # yelp2018-scale numbers with the RecDCL width decline too
+    assert not fusedmm.tdual_fits(31744, 38912, 2048)
+    # the per-application dispatch at a too-wide d falls back cleanly
+    n = tiny_dataset.num_users + tiny_dataset.num_items
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(n, 256)),
+                    jnp.float32)
+    y = adj.matmul(x)  # must not trip a kernel assert
+    assert y.shape == (n, 256) and bool(jnp.all(jnp.isfinite(y)))
+
+
 def test_ti_padding_when_small_kernel_fits(tiny_dataset):
     """emb_size-aware padding: TI multiples when the single-panel
     kernel fits (no PANEL zero-column waste), PANEL otherwise."""
