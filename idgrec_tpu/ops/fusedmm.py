@@ -63,16 +63,19 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def tdual_fits(u_pad: int, i_pad: int, d: int) -> bool:
+def tdual_fits(u_pad: int, i_pad: int, d: int, quant: str = "int8") -> bool:
     """Whether the transposed dual kernels (fused_adj_matmul_int{8,4}_t)
     can host a d-wide application: the single-panel path needs the whole
-    [d, I_pad] yi accumulator within the wide VMEM allowance; otherwise
-    the panelized path needs PANEL-divisible columns and the [d, U_pad]
-    yu accumulator within budget. Mirrors the asserts inside the _t
-    dispatchers so callers can decline BEFORE tracing — e.g. RecDCL's
-    reference d=2048 (RecDCL.py emb_size config) puts both accumulators
-    ~300 MB over VMEM and must take the XLA int8-matmul fallback."""
-    if i_pad * d * 4 <= yi_budget(d):
+    [d, I_pad] yi accumulator within the wide VMEM allowance AND the
+    quant mode's column multiple (TI for int8, PACK_TILE for int4) to
+    divide i_pad; otherwise the panelized path needs PANEL-divisible
+    columns and the [d, U_pad] yu accumulator within budget. Mirrors the
+    asserts inside the _t dispatchers so callers can decline BEFORE
+    tracing — e.g. RecDCL's reference d=2048 (RecDCL.py emb_size config)
+    puts both accumulators ~300 MB over VMEM and must take the XLA
+    int8-matmul fallback."""
+    col_mult = PACK_TILE if quant == "int4" else TI
+    if i_pad % col_mult == 0 and i_pad * d * 4 <= yi_budget(d):
         return True
     return i_pad % PANEL == 0 and u_pad * d * 4 <= MAX_YU_VMEM_BYTES
 

@@ -869,7 +869,7 @@ def supports_chain_t(graph, d: int | None = None) -> bool:
     col_mult = fusedmm.PACK_TILE if graph.quant == "int4" else fusedmm.TI
     if i_pad % col_mult != 0 or fusedmm.pick_row_tile(u_pad) is None:
         return False
-    if d is not None and not fusedmm.tdual_fits(u_pad, i_pad, d):
+    if d is not None and not fusedmm.tdual_fits(u_pad, i_pad, d, graph.quant):
         return False
     from idgrec_tpu.parallel import mesh as mesh_lib
 

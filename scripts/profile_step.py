@@ -6,12 +6,11 @@ attributed, not guessed. Everything is scan-chained (output feeds the
 next input) so async dispatch cannot hide device time.
 
 Components measured at yelp2018 scale (U=31668, I=38048, d=64, K=3):
-  kernel.int8        raw fused dual kernel, pre-quantized inputs
-  kernel.int4        raw nibble kernel, current widening unpack
-  kernel.int4v2      nibble kernel, mask-only unpack + output shift
+  kernel.int8/int4   raw fused dual kernels, pre-quantized inputs
+  kernel.int8t/int4t the shipping transposed-activation kernels
   quantize           per-column quantization of (zu, zi) alone
   app.int8/int4      full quantized application (scales+pad+kernel)
-  propagate          3-layer LightGCN forward
+  propagate          3-layer LightGCN forward (per-app vs chain vs +bwd)
   step               full train step (fwd+bwd+Adam) via the EpochRunner
 
 Floors (docs/SCALING.md, 670 GB/s HBM, 197 TOPS int8 MXU at 50%
@@ -83,7 +82,8 @@ def chain_time(name, fn, *args, steps=STEPS, flops=None, bytes_=None,
         t0 = time.perf_counter()
         out = float(run(statics, *args))
         best = min(best, time.perf_counter() - t0)
-    dt = (best - 0.031) / steps
+    # clamp: a fully-fused component can measure below the RTT estimate
+    dt = max((best - 0.031) / steps, 1e-6)
     extra = ""
     if bytes_:
         extra += f"  {bytes_/dt/1e9:7.0f} GB/s"
@@ -94,100 +94,13 @@ def chain_time(name, fn, *args, steps=STEPS, flops=None, bytes_=None,
     return dt
 
 
-# ---------------------------------------------------------------------------
-# int4 kernel variant 2: mask-only unpack. hi nibbles enter the MXU as
-# raw & 0xF0 (their value x16, still int8-safe since hi <= 7) and the
-# x16 is divided back out of the int32 dot result with one arithmetic
-# shift over the TINY [tile, d] output — O(tu*d) int32 lanes instead of
-# O(tu*ti) widened lanes per tile. Exact: every product is a multiple
-# of 16, and arithmetic >>4 floor-divides multiples of 16 exactly
-# (positive or negative).
-
-def _kernel_int4_v2(m_ref, qi_ref, qu_ref, yu_ref, yi_ref, yi_acc, sem):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    ni = pl.num_programs(0)
-    nj = pl.num_programs(1)
-    ti, d = qi_ref.shape
-    half = ti // 2
-
-    @pl.when(j == 0)
-    def _():
-        yu_ref[...] = jnp.zeros_like(yu_ref)
-
-    @pl.when(i == 0)
-    def _():
-        yi_acc[pl.ds(j * ti, ti), :] = jnp.zeros((ti, d), jnp.float32)
-
-    raw = m_ref[...]
-    lo = raw & 0xF
-    hi16 = raw & jnp.int8(0xF0 - 256)  # -16 as int8 == 0xF0 mask
-    q = qi_ref[...]
-    yu_ref[...] += (
-        jnp.dot(lo, q[:half], preferred_element_type=jnp.int32)
-        + (jnp.dot(hi16, q[half:], preferred_element_type=jnp.int32) >> 4)
-    ).astype(jnp.float32)
-    qu = qu_ref[...]
-    yi_acc[pl.ds(j * ti, half), :] += jax.lax.dot_general(
-        lo, qu, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    ).astype(jnp.float32)
-    yi_acc[pl.ds(j * ti + half, half), :] += (
-        jax.lax.dot_general(
-            hi16, qu, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        ) >> 4
-    ).astype(jnp.float32)
-
-    @pl.when((i == ni - 1) & (j == nj - 1))
-    def _():
-        copy = pltpu.make_async_copy(yi_acc, yi_ref, sem)
-        copy.start()
-        copy.wait()
-
-
-def int4_v2_call(m4, qu, qi):
-    u_pad = m4.shape[0]
-    i_pad = 2 * m4.shape[1]
-    d = qi.shape[1]
-    tu = pick_row_tile(u_pad)
-    grid = (u_pad // tu, i_pad // TI)
-    return pl.pallas_call(
-        _kernel_int4_v2,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((tu, TI // 2), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TI, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tu, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((tu, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((u_pad, d), jnp.float32),
-            jax.ShapeDtypeStruct((i_pad, d), jnp.float32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((i_pad, d), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=i_pad * d * 4 + 16 * 1024 * 1024,
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * u_pad * i_pad * d,
-            bytes_accessed=u_pad * i_pad // 2 + (u_pad + i_pad) * d * 5,
-            transcendentals=0,
-        ),
-    )(m4, qi, qu)
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--parts", default="all",
                     help="comma list: kernels,quant,app,propagate,step")
+    ap.add_argument("--out", default=None,
+                    help="write the cost table as JSON to this path "
+                         "(e.g. docs/evidence/step_cost_table.json)")
     args = ap.parse_args()
     parts = set(args.parts.split(",")) if args.parts != "all" else {
         "kernels", "quant", "app", "propagate", "step"}
@@ -213,43 +126,55 @@ def main():
     if "kernels" in parts:
         # raw kernels, fixed int8 inputs (no feedback possible into int8
         # without quantization — chain through dummy f32 carries)
+        # carries stay PADDED ([U_pad, d] / [I_pad, d]) — the kernels'
+        # BlockSpecs index the full padded row range; unpadded inputs
+        # read out of bounds and fault the TPU worker
         def k8(zu, zi, mat):
             qu = (zu * 127).astype(jnp.int8)
             qi = (zi * 127).astype(jnp.int8)
-            yu, yi = fusedmm.fused_adj_matmul_int8(mat, qu, qi)
-            return yu[:U], yi[:I]
+            return fusedmm.fused_adj_matmul_int8(mat, qu, qi)
 
         def k4(zu, zi, mat):
             qu = (zu * 127).astype(jnp.int8)
             qi = (zi * 127).astype(jnp.int8)
-            yu, yi = fusedmm.fused_adj_matmul_int4(mat, qu, qi)
-            return yu[:U], yi[:I]
+            return fusedmm.fused_adj_matmul_int4(mat, qu, qi)
 
-        def k4v2(zu, zi, mat):
-            qu = (zu * 127).astype(jnp.int8)
-            qi = (zi * 127).astype(jnp.int8)
-            yu, yi = int4_v2_call(mat, qu, qi)
-            return yu[:U], yi[:I]
+        # the shipping transposed-activation ("T") kernels — what the
+        # bench step actually runs via fused_chain_t
+        def k8t(zu, zi, mat):
+            quT = (zu * 127).astype(jnp.int8).T
+            qiT = (zi * 127).astype(jnp.int8).T
+            yuT, yiT = fusedmm.fused_adj_matmul_int8_t(mat, quT, qiT)
+            return yuT.T, yiT.T
 
-        # correctness first: v2 == current int4 == int8, bit-exact
+        def k4t(zu, zi, mat):
+            quT = (zu * 127).astype(jnp.int8).T
+            qiT = (zi * 127).astype(jnp.int8).T
+            yuT, yiT = fusedmm.fused_adj_matmul_int4_t(mat, quT, qiT)
+            return yuT.T, yiT.T
+
+        # correctness first: int4 == int8 == T-kernels, bit-exact
         y8 = fusedmm.fused_adj_matmul_int8(m8, qu0, qi0)
         y4 = fusedmm.fused_adj_matmul_int4(m4, qu0, qi0)
-        yv2 = int4_v2_call(m4, qu0, qi0)
+        y4t = [a.T for a in fusedmm.fused_adj_matmul_int4_t(m4, qu0.T, qi0.T)]
         d48 = max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(y4, y8))
-        dv2 = max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(yv2, y8))
-        print(f"exactness: int4-int8 {d48}, int4v2-int8 {dv2}", flush=True)
-        assert d48 == 0.0 and dv2 == 0.0
+        d4t = max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(y4t, y8))
+        print(f"exactness: int4-int8 {d48}, int4t-int8 {d4t}", flush=True)
+        assert d48 == 0.0 and d4t == 0.0
 
-        zu_t = zu0[:U] * 0.1
-        zi_t = zi0[:I] * 0.1
+        zu_t = zu0 * 0.1
+        zi_t = zi0 * 0.1
         results["kernel.int8"] = chain_time(
             "kernel.int8", k8, zu_t, zi_t, bytes_=m8.nbytes, flops=2 * mxu_macs,
             statics=(m8,))
         results["kernel.int4"] = chain_time(
             "kernel.int4", k4, zu_t, zi_t, bytes_=m4.nbytes, flops=2 * mxu_macs,
             statics=(m4,))
-        results["kernel.int4v2"] = chain_time(
-            "kernel.int4v2", k4v2, zu_t, zi_t, bytes_=m4.nbytes, flops=2 * mxu_macs,
+        results["kernel.int8t"] = chain_time(
+            "kernel.int8t", k8t, zu_t, zi_t, bytes_=m8.nbytes, flops=2 * mxu_macs,
+            statics=(m8,))
+        results["kernel.int4t"] = chain_time(
+            "kernel.int4t", k4t, zu_t, zi_t, bytes_=m4.nbytes, flops=2 * mxu_macs,
             statics=(m4,))
 
     if "quant" in parts:
@@ -347,19 +272,34 @@ def main():
             sampler = NegativeSampler(data)
             users, pos, neg = sampler.sample_epoch(k)
             users, pos, neg = users[:2048 * 64], pos[:2048 * 64], neg[:2048 * 64]
+            # run_epoch DONATES params/opt_state/state — rebind them
+            # from the outputs or the second call feeds dead buffers
             t0 = time.time()
-            out = runner.run_epoch(params, opt_state, state, (), users, pos, neg, k, 0)
-            _ = np.asarray(out[-1])  # host fetch = real sync
+            params, opt_state, state, terms = runner.run_epoch(
+                params, opt_state, state, (), users, pos, neg, k, 0)
+            _ = np.asarray(terms)  # host fetch = real sync
             print(f"step.{mode}: compile {time.time()-t0:.0f}s", flush=True)
             t0 = time.perf_counter()
-            out = runner.run_epoch(params, opt_state, state, (), users, pos, neg, k, 0)
-            _ = np.asarray(out[-1])
+            params, opt_state, state, terms = runner.run_epoch(
+                params, opt_state, state, (), users, pos, neg, k, 0)
+            _ = np.asarray(terms)
             dt = (time.perf_counter() - t0 - 0.031) / 64
             print(f"{'step.' + mode:18s} {dt*1e3:8.3f} ms/step", flush=True)
             results[f"step.{mode}"] = dt
             del model, params, state, opt_state, runner
 
-    print(json.dumps({k: round(v * 1e3, 3) for k, v in results.items()}))
+    table = {k: round(v * 1e3, 3) for k, v in results.items()}
+    print(json.dumps(table))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({
+                "script": "scripts/profile_step.py",
+                "scale": {"users": U, "items": I, "d": D, "nnz": NNZ},
+                "device": str(jax.devices()[0]),
+                "units": "ms (per iteration / per step)",
+                "table": table,
+            }, f, indent=2)
+            f.write("\n")
 
 
 if __name__ == "__main__":

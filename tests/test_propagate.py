@@ -614,11 +614,26 @@ def test_chain_t_declines_when_accumulators_over_budget(tiny_dataset):
     # yelp2018-scale numbers with the RecDCL width decline too
     assert not fusedmm.tdual_fits(31744, 38912, 2048)
     # the per-application dispatch at a too-wide d falls back cleanly
+    # to the XLA int8-matmul branch. On the tiny fixture no realistic d
+    # blows the real VMEM budgets, so shrink them to zero: every kernel
+    # gate (single-panel, panelized, int4-small) must then decline and
+    # the quant_dual_matmul fallback must produce the same numbers the
+    # kernel path produces with real budgets.
     n = tiny_dataset.num_users + tiny_dataset.num_items
     x = jnp.asarray(np.random.default_rng(0).normal(size=(n, 256)),
                     jnp.float32)
-    y = adj.matmul(x)  # must not trip a kernel assert
+    y_kernel = adj.matmul(x)
+    import unittest.mock as mock
+
+    with mock.patch.object(fusedmm, "MAX_YI_VMEM_BYTES", 0), \
+         mock.patch.object(fusedmm, "MAX_YI_VMEM_BYTES_WIDE", 0), \
+         mock.patch.object(fusedmm, "MAX_YU_VMEM_BYTES", 0):
+        assert not fusedmm.tdual_fits(u_pad, i_pad, 8)  # budgets really shrunk
+        y = adj.matmul(x)  # must take the XLA fallback, not a kernel assert
     assert y.shape == (n, 256) and bool(jnp.all(jnp.isfinite(y)))
+    # same quantized math either way (kernel and XLA share _quantize_cols
+    # and integer MACs — f32 conversion order may differ at epsilon)
+    assert float(jnp.max(jnp.abs(y - y_kernel))) <= 1e-4
 
 
 def test_ti_padding_when_small_kernel_fits(tiny_dataset):
