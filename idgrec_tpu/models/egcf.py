@@ -32,9 +32,14 @@ class EGCF(RecModel):
         self.temperature = config.float("temperature")
         self.mode = config.str("mode")
         self.num_layers = config.int("GCN_layer")
-        self.user_graph = build_rect_adjacency(data, self.backend, compute_dtype=self.compute_dtype)
         if self.mode == "parallel":
+            # parallel mode seeds users through the SAME square Â the
+            # layer chain sweeps (Â·[0; E_i] = [R̃·E_i; 0] — identical
+            # scale vectors, no self-loop), so the rectangular R̃ and
+            # its second device-resident matrix are not needed at all
             self.graph = build_adjacency(data, "sym", self.backend, compute_dtype=self.compute_dtype, emb_size=self.embedding_size)
+        else:
+            self.user_graph = build_rect_adjacency(data, self.backend, compute_dtype=self.compute_dtype)
 
     def init_params(self, rng):
         return {"item_emb": xavier_uniform(rng, (self.num_items, self.embedding_size))}
@@ -42,8 +47,26 @@ class EGCF(RecModel):
     def propagate(self, params):
         item_emb = params["item_emb"]
         if self.mode == "parallel":
-            user_emb = jnp.tanh(self.user_graph.matmul(item_emb))
-            h = jnp.concatenate([user_emb, item_emb], axis=0)
+            from idgrec_tpu.ops import propagate as _prop
+
+            # user seed tanh(R̃·E_item) via ONE square dual application:
+            # Â·[0; E_i] = [Du^-1/2·R·Di^-1/2·E_i; Rᵀ·0] and tanh(0)=0,
+            # so h0 = tanh(Â·x0) + x0 seeds users AND keeps E_item —
+            # the same HBM-bound matrix read as a chain layer instead
+            # of a separate rectangular sweep (reference EGCF.py:67-72)
+            x0 = jnp.concatenate(
+                [jnp.zeros((self.num_users, item_emb.shape[1]),
+                           item_emb.dtype), item_emb], axis=0)
+            h = jnp.tanh(self.graph.matmul(x0)) + x0
+            if self.num_layers > 0 and _prop.supports_chain_t(
+                    self.graph, item_emb.shape[1]):
+                # quantized fused backend: tanh-activated transposed
+                # chain — every layer shares the nibble-packed T-sweep
+                # (reference EGCF.py:73-84; sum over layer outputs)
+                acc = _prop.fused_chain_t(
+                    self.graph, h, self.num_layers, include_layer0=False,
+                    reduce="sum", activation=jnp.tanh)
+                return split_user_item(acc, self.num_users)
             acc = jnp.zeros_like(h)
             for _ in range(self.num_layers):
                 h = jnp.tanh(self.graph.matmul(h))

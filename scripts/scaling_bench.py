@@ -73,6 +73,9 @@ def main() -> None:
             "dataset": "scale", "embedding_size": str(d),
             "batch_size": str(512 * mesh.shape["data"]),
             "learn_rate": "0.001", "reg_lambda": "0.0001", "GCN_layer": "3",
+            # the BENCH mode: nibble-packed adjacency shards, int8
+            # activation all-gather (interpret-mode kernels on CPU)
+            "propagation_backend": "fused", "compute_dtype": "int4",
         })
         model = get_model("LightGCN")(cfg, data)
         model.device_put()
@@ -96,7 +99,7 @@ def main() -> None:
         epoch_s = time.time() - t0
 
         consts = jax.device_put(model.constants(), param_shardings(model.constants(), mesh))
-        m = consts["graph"].m
+        m = consts["graph"].m8
         shard_rows = m.sharding.shard_shape(m.shape)[0]
         per_chip_bytes = shard_rows * m.shape[1]
         rows.append({
@@ -108,23 +111,38 @@ def main() -> None:
         })
         print(rows[-1], file=sys.stderr, flush=True)
 
-    # --- yelp2018-scale per-chip resource model (v5e numbers) ---
+    # --- yelp2018-scale per-chip resource model (v5e, int4 bench mode) ---
+    # Calibrated against ROUND-4 on-chip measurements
+    # (docs/evidence/step_cost_table.json + scripts/tune_tkernel_tiles.py):
+    #   * per-application dual T-sweep at shipping padding (32768 x 38912,
+    #     nibble-packed 637.6 MB): 0.97 ms standalone, 1.02 ms in-chain
+    #     (676 GB/s eff. HBM, 346 int8-TOP/s = 88% MXU) — the sweep is
+    #     simultaneously within ~15% of BOTH hardware bounds, so the
+    #     per-chip compute term scales as measured_single / n.
+    #   * measured step 7.39 ms = 6 x 1.02 (3 fwd + 3 bwd dual
+    #     applications) + 1.29 ms step/epoch overhead, of which the
+    #     table-proportional part (Adam, layout, quantize) shards 1/n.
+    # Collectives per application (parallel/spmm_shard.py, payload
+    # shapes pinned from compiled HLO by tests/test_spmm_shard.py):
+    #   all_gather of the QUANTIZED int8 item activations  [I_pad, d] int8
+    #   psum_scatter of the item partial products          [I_pad, d] f32
+    # Ring traffic per chip = (n-1)/n x payload for both.
     U, I, NNZ, B = 31_668, 38_048, 1_237_259, 2048
-    U_pad, I_pad = 31_744, 38_144
+    U_pad, I_pad = 32_768, 38_912          # int4 shipping padding
     steps = NNZ // B + 1
-    sweeps = 12  # 3 fwd + 3 bwd applications x 2 directions (dense backend)
-    hbm_gbps = 670.0   # measured effective on this v5e chip (bench.py)
+    apps = 6                                # dual sweeps per step (3 fwd + 3 bwd)
+    app_ms_1chip = 1.02                     # measured in-chain (r4)
+    other_fixed_ms = 0.50                   # loss heads, scan/dispatch
+    other_sharded_ms = 0.79                 # Adam + activation layout (1/n)
     ici_gbps = 100.0   # conservative usable per-chip ICI for small transfers
                        # (v5e links total well above this)
+    coll_bytes = I_pad * d * (1 + 4)        # int8 gather + f32 scatter
     model_rows = []
     for n in N_DEVICES:
-        adj_bytes = U_pad * I_pad / n            # int8, row-sharded
-        prop_s = sweeps * adj_bytes / (hbm_gbps * 1e9)
-        # per application each chip must see the full activation matrix:
-        # all-gather of [N_nodes/n, d] f32 shards -> (n-1)/n * N_nodes*d*4
-        act_bytes = (U_pad + I_pad) * d * 4
-        coll_s = 6 * ((n - 1) / n) * act_bytes / (ici_gbps * 1e9)
-        step_s = prop_s + coll_s
+        app_s = app_ms_1chip / 1e3 / n
+        coll_s = ((n - 1) / n) * coll_bytes / (ici_gbps * 1e9)
+        step_s = apps * (app_s + coll_s) + (
+            other_fixed_ms + other_sharded_ms / n) / 1e3
         epoch_s = steps * step_s
         model_rows.append({
             "n_chips": n,
@@ -132,7 +150,14 @@ def main() -> None:
             "pairs_per_s_model": int(NNZ / epoch_s),
             "vs_reference_17.5s": round(17.5 / epoch_s, 1),
         })
-    print(json.dumps({"virtual_mesh_runs": rows, "yelp2018_v5e_model": model_rows}, indent=1))
+    # ICI becomes the binding per-application resource when
+    # coll_s >= app_s: n - 1 >= app_ms_1chip/1e3 * ici / coll_bytes
+    crossover = 1 + app_ms_1chip / 1e3 * ici_gbps * 1e9 / coll_bytes
+    print(json.dumps({
+        "virtual_mesh_runs": rows,
+        "yelp2018_v5e_int4_model": model_rows,
+        "ici_crossover_n_chips": round(crossover, 1),
+    }, indent=1))
 
 
 if __name__ == "__main__":
