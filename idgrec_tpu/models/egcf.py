@@ -57,16 +57,18 @@ class EGCF(RecModel):
             x0 = jnp.concatenate(
                 [jnp.zeros((self.num_users, item_emb.shape[1]),
                            item_emb.dtype), item_emb], axis=0)
-            h = jnp.tanh(self.graph.matmul(x0)) + x0
             if self.num_layers > 0 and _prop.supports_chain_t(
                     self.graph, item_emb.shape[1]):
-                # quantized fused backend: tanh-activated transposed
-                # chain — every layer shares the nibble-packed T-sweep
-                # (reference EGCF.py:73-84; sum over layer outputs)
+                # quantized fused backend: the user seed AND every tanh
+                # layer share the nibble-packed N-wide T-sweep — one
+                # transposed chain end to end (reference EGCF.py:67-84;
+                # sum over layer outputs)
                 acc = _prop.fused_chain_t(
-                    self.graph, h, self.num_layers, include_layer0=False,
-                    reduce="sum", activation=jnp.tanh)
+                    self.graph, x0, self.num_layers, include_layer0=False,
+                    reduce="sum", activation=jnp.tanh,
+                    seed_users_from_items=True)
                 return split_user_item(acc, self.num_users)
+            h = jnp.tanh(self.graph.matmul(x0)) + x0
             acc = jnp.zeros_like(h)
             for _ in range(self.num_layers):
                 h = jnp.tanh(self.graph.matmul(h))

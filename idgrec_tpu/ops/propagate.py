@@ -884,6 +884,7 @@ def fused_chain_t(
     include_layer0: bool = True,
     reduce: str | None = "mean",
     activation=None,
+    seed_users_from_items: bool = False,
 ):
     """K applications of Â in TRANSPOSED [d, N] layout with one layout
     transpose at each end — numerically identical (bit-exact) to
@@ -897,6 +898,15 @@ def fused_chain_t(
     activation: optional elementwise fn applied after each application
     (EGCF's tanh, models/EGCF.py:67-84 — elementwise ops are
     layout-invariant).
+    seed_users_from_items: EGCF parallel-mode user seeding
+    (models/EGCF.py:67-72) INSIDE the T layout: emb0's user rows must
+    be zero; before the counted layers, one extra dual application
+    sets hu = activation(lu·(M @ (ri·hi))) while hi is RESET to the
+    item embeddings (Â·[0;E_i] has a zero item side). Numerically
+    identical to seeding via ``adj.matmul`` on the concatenated
+    [0; E_i] (same per-feature quantization, same scale order), but
+    the seed rides the same N-wide T-kernel as the chain instead of
+    two untransposed per-application sweeps.
     """
     nu, ni = adj.num_users, adj.num_items
     u_pad, i_pad = adj.padded_shape
@@ -910,6 +920,16 @@ def fused_chain_t(
     if adj.has_diag:
         du = jnp.pad(adj.diag_u, (0, u_pad - nu))[None, :]
         di = jnp.pad(adj.diag_i, (0, i_pad - ni))[None, :]
+
+    if seed_users_from_items:
+        assert activation is not None, "seeding is defined with an activation"
+        assert not adj.has_diag, "seed semantics assume no self-loop diag"
+        ziT = ri * hi
+        zuT = ru * hu  # zeros — quantizes to zeros (scale 1), yiT = 0
+        yuT, _ = quant_fused_dual_t(adj.m8, ziT, zuT, adj.quant, adj.interpret)
+        hu = activation(lu * yuT)
+        # hi stays the item embeddings: tanh(0) + E_i (item side of
+        # the reference's h0 after seeding)
 
     layers = [(hu, hi)] if (include_layer0 or reduce is None) else []
     for _ in range(num_layers):

@@ -39,6 +39,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--d", type=int, default=64)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--out", default=None,
+                    help="also write the JSON to this path")
     args = ap.parse_args()
 
     from idgrec_tpu.compile_cache import enable as _enable_cache
@@ -63,35 +65,35 @@ def main() -> None:
                     jnp.float32)
     nnz = int(g.rows.shape[0])
 
-    fwd = jax.jit(lambda x: spmm(g, x))
-    y = fwd(x)
-    y.block_until_ready()
-    t0 = time.time()
-    for _ in range(args.iters):
-        y = fwd(x)
-    y.block_until_ready()
-    fwd_s = (time.time() - t0) / args.iters
+    # scan-chained feedback timing with scalar-fetch sync: the axon
+    # tunnel's block_until_ready does not reliably wait for remote
+    # execution, and independent per-iteration dispatches can overlap —
+    # same discipline as profile_step.chain_time
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from profile_step import chain_time
 
-    loss = jax.jit(jax.grad(lambda x: jnp.sum(spmm(g, x) ** 2)))
-    gx = loss(x)
-    gx.block_until_ready()
-    t0 = time.time()
-    for _ in range(args.iters):
-        gx = loss(x)
-    gx.block_until_ready()
-    fwdbwd_s = (time.time() - t0) / args.iters
+    def fwd(xc, g_):
+        return (spmm(g_, xc),)
+
+    fwd_s = chain_time("spmm.fwd", fwd, x, statics=(g,), steps=args.iters)
+
+    def fwdbwd(xc, g_):
+        return (jax.grad(lambda e: jnp.sum(spmm(g_, e) ** 2))(xc),)
+
+    fwdbwd_s = chain_time("spmm.fwd+bwd", fwdbwd, x, statics=(g,),
+                          steps=args.iters)
 
     # dense int8 fused application for contrast (same logical op)
     adj = build_adjacency(data, "sym", "fused", compute_dtype="int8",
                           emb_size=d)
-    dense_fwd = jax.jit(lambda x: adj.matmul(x))
-    yd = dense_fwd(x)
-    yd.block_until_ready()
-    t0 = time.time()
-    for _ in range(args.iters):
-        yd = dense_fwd(x)
-    yd.block_until_ready()
-    dense_s = (time.time() - t0) / args.iters
+
+    def dense(xc, adj_):
+        return (adj_.matmul(xc),)
+
+    dense_s = chain_time("dense.int8", dense, x, statics=(adj,),
+                         steps=args.iters)
+    y = jax.jit(lambda xc, g_: spmm(g_, xc))(x, g)
+    yd = jax.jit(lambda xc, adj_: adj_.matmul(xc))(x, adj)
 
     # byte accounting for ONE forward application:
     #  random row reads of x: nnz * d * 4 B
@@ -120,6 +122,9 @@ def main() -> None:
         "max_err_vs_dense": float(jnp.max(jnp.abs(y - yd))),
     }
     print(json.dumps(out, indent=1))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -577,6 +577,47 @@ def test_chain_t_sum_no_layer0_and_diag(tiny_dataset, rng):
         assert bool(jnp.all(ref == got)), variant
 
 
+@pytest.mark.parametrize("quant", ["int8", "int4"])
+def test_chain_t_seed_users_matches_matmul_seed(tiny_dataset, rng, quant):
+    """EGCF parallel-mode seeding inside the T chain
+    (seed_users_from_items) == tanh(adj.matmul([0; E_i])) + [0; E_i]
+    followed by the plain tanh chain, BIT-EXACTLY, fwd and grads
+    (reference models/EGCF.py:67-84)."""
+    import jax.numpy as jnp
+
+    from idgrec_tpu.ops import propagate as prop
+
+    adj = build_adjacency(tiny_dataset, "sym", "fused", compute_dtype=quant,
+                          emb_size=8)
+    assert prop.supports_chain_t(adj)
+    nu = tiny_dataset.num_users
+    x = _x(tiny_dataset, rng)
+    x0 = x.at[:nu].set(0.0)
+
+    def ref_fn(x0):
+        h = jnp.tanh(adj.matmul(x0)) + x0
+        acc = jnp.zeros_like(h)
+        for _ in range(2):
+            h = jnp.tanh(adj.matmul(h))
+            acc = acc + h
+        return acc
+
+    def chain_fn(x0):
+        return prop.fused_chain_t(adj, x0, 2, include_layer0=False,
+                                  reduce="sum", activation=jnp.tanh,
+                                  seed_users_from_items=True)
+
+    assert bool(jnp.all(ref_fn(x0) == chain_fn(x0)))
+    # gradients compared on ITEM rows only: the user rows of x0 are
+    # constant zeros in EGCF (no user table exists — EGCF.py:26-32);
+    # ref_fn's "+x0" gives them a spurious identity cotangent the
+    # model never consumes, while the seeded chain resets the item
+    # panel instead and has no user identity path
+    g_ref = jax.grad(lambda e: jnp.sum(ref_fn(e) ** 2))(x0)
+    g_got = jax.grad(lambda e: jnp.sum(chain_fn(e) ** 2))(x0)
+    assert bool(jnp.all(g_ref[nu:] == g_got[nu:]))
+
+
 def test_chain_t_declines_under_model_mesh(tiny_dataset):
     """supports_chain_t must defer to the sharded per-application path
     whenever a model-axis mesh is active."""
