@@ -65,33 +65,50 @@ def main() -> None:
                     jnp.float32)
     nnz = int(g.rows.shape[0])
 
-    # scan-chained feedback timing with scalar-fetch sync: the axon
+    # DEPENDENT-chain feedback timing with scalar-fetch sync: the axon
     # tunnel's block_until_ready does not reliably wait for remote
-    # execution, and independent per-iteration dispatches can overlap —
-    # same discipline as profile_step.chain_time
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from profile_step import chain_time
+    # execution, and independent per-iteration dispatches can overlap.
+    # Each iteration feeds its (normalized) output back as the next
+    # input, so the final scalar fetch transitively waits on every
+    # iteration. A Python loop of jitted calls (not a device-side
+    # lax.scan) keeps the compiled program small — the scan-wrapped
+    # variant compiles for tens of minutes remotely at this nnz.
+    def timed_chain(name, step_fn, x0, *consts):
+        jitted = jax.jit(step_fn)
+        y = jitted(x0, *consts)  # compile + first run
+        float(jnp.sum(y.ravel()[:1]))
+        best = 1e9
+        for _ in range(2):
+            y = x0
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                y = jitted(y, *consts)
+            float(jnp.sum(y.ravel()[:1]))  # sync on the dependent chain
+            best = min(best, (time.perf_counter() - t0) / args.iters)
+        print(f"{name:14s} {best*1e3:8.3f} ms", flush=True)
+        return best
 
-    def fwd(xc, g_):
-        return (spmm(g_, xc),)
+    def fwd_step(xc, g_):
+        y = spmm(g_, xc)
+        return y / (jnp.max(jnp.abs(y)) + 1e-6)
 
-    fwd_s = chain_time("spmm.fwd", fwd, x, statics=(g,), steps=args.iters)
+    fwd_s = timed_chain("spmm.fwd", fwd_step, x, g)
 
-    def fwdbwd(xc, g_):
-        return (jax.grad(lambda e: jnp.sum(spmm(g_, e) ** 2))(xc),)
+    def fwdbwd_step(xc, g_):
+        y = jax.grad(lambda e: jnp.sum(spmm(g_, e) ** 2))(xc)
+        return y / (jnp.max(jnp.abs(y)) + 1e-6)
 
-    fwdbwd_s = chain_time("spmm.fwd+bwd", fwdbwd, x, statics=(g,),
-                          steps=args.iters)
+    fwdbwd_s = timed_chain("spmm.fwd+bwd", fwdbwd_step, x, g)
 
     # dense int8 fused application for contrast (same logical op)
     adj = build_adjacency(data, "sym", "fused", compute_dtype="int8",
                           emb_size=d)
 
-    def dense(xc, adj_):
-        return (adj_.matmul(xc),)
+    def dense_step(xc, adj_):
+        y = adj_.matmul(xc)
+        return y / (jnp.max(jnp.abs(y)) + 1e-6)
 
-    dense_s = chain_time("dense.int8", dense, x, statics=(adj,),
-                         steps=args.iters)
+    dense_s = timed_chain("dense.int8", dense_step, x, adj)
     y = jax.jit(lambda xc, g_: spmm(g_, xc))(x, g)
     yd = jax.jit(lambda xc, adj_: adj_.matmul(xc))(x, adj)
 

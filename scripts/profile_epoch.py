@@ -66,12 +66,15 @@ def main():
     print(f"segments: {runner.segment_lengths}", flush=True)
 
     k1 = jax.random.PRNGKey(7)
+    # sync through ONE jitted reducer (un-jitted tiny-op dispatches have
+    # wedged the axon tunnel; a single cached program is safe)
+    _sum = jax.jit(lambda t: jnp.sum(jnp.asarray(t, jnp.float32).ravel()[:8]))
 
     def run_sampler():
         u, p, n = sampler.sample_epoch(k1)
         # axon tunnel: block_until_ready does not wait for remote
         # execution — fetch a scalar instead
-        float(jnp.sum(n[:1]))
+        float(_sum(n))
         return u, p, n
 
     t_sample = timed("sampler.sample_epoch", run_sampler)
@@ -80,7 +83,7 @@ def main():
 
     def run_prepare():
         b = runner._prepare(users, pos, neg)
-        float(jnp.sum(b["neg"][0, :1]))
+        float(_sum(b["neg"]))
         return b
 
     t_prepare = timed("prepare (tile+reshape)", run_prepare)
@@ -99,7 +102,7 @@ def main():
             jax.tree.map(jnp.copy, opt_state),
             jax.tree.map(jnp.copy, state),
             (), seg, rng, ep, runner._consts)
-        float(jnp.sum(terms))
+        float(_sum(terms))
 
     t_seg = timed(f"segment scan ({seg_len} st)", run_segment, n=3)
     print(f"  -> {t_seg/seg_len*1e3:9.3f} ms/step inside scan", flush=True)
@@ -110,7 +113,7 @@ def main():
             jax.tree.map(jnp.copy, params),
             jax.tree.map(jnp.copy, opt_state),
             jax.tree.map(jnp.copy, state), (), u, p, n, rng, 0)
-        float(jnp.sum(terms))
+        float(_sum(terms))
 
     t_epoch = timed("full epoch", run_epoch, n=3)
     n_steps = runner.num_batches
