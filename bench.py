@@ -38,6 +38,9 @@ def main() -> None:
                         help="synthetic dataset scale (public stats of the named set)")
     parser.add_argument("--epochs", type=int, default=3, help="timed epochs")
     parser.add_argument("--batch-size", type=int, default=2048)
+    parser.add_argument("--steps-per-call", type=int, default=256,
+                        help="epoch scan segment length (EpochRunner "
+                             "max_steps_per_call)")
     parser.add_argument("--layers", type=int, default=3)
     parser.add_argument("--emb", type=int, default=64)
     parser.add_argument("--backend", default="auto",
@@ -118,7 +121,9 @@ def main() -> None:
         rng, p_rng = jax.random.split(rng)
         params = model.init_params(p_rng)
         state = model.init_state(p_rng)
-        runner = EpochRunner(model, cfg.float("learn_rate"), args.batch_size, data.num_train)
+        runner = EpochRunner(model, cfg.float("learn_rate"), args.batch_size,
+                             data.num_train,
+                             max_steps_per_call=args.steps_per_call)
         opt_state = runner.init_opt_state(params)
 
         def one_epoch(params, opt_state, state, rng, epoch):
