@@ -32,6 +32,10 @@ def main() -> None:
     ap.add_argument("--early-stopping", type=int, default=10)
     ap.add_argument("--compute-dtype", default="int4")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--checkpoint-every", type=int, default=None,
+                    help="epoch checkpoint cadence (enables resume when "
+                         "the TPU tunnel drops a run; same --out rerun "
+                         "continues from the last checkpoint)")
     args = ap.parse_args()
 
     import jax
@@ -61,8 +65,12 @@ def main() -> None:
         "compute_dtype": args.compute_dtype,
     })
     t0 = time.time()
+    ckpt_dir = (os.path.join(out_dir, "ckpt")
+                if args.checkpoint_every else None)
     res = train_model("LightGCN", data, config=cfg, seed=2024,
-                      log_dir=out_dir, echo=True)
+                      log_dir=out_dir, echo=True,
+                      checkpoint_dir=ckpt_dir,
+                      checkpoint_every=args.checkpoint_every)
     summary = {
         "platform": jax.default_backend(),
         "compute_dtype": args.compute_dtype,
