@@ -59,6 +59,11 @@ def main() -> None:
     data = make_synthetic_dataset(31668, 38048, 1237259, 1000, seed=0,
                                   name="yelp2018-scale")
     g = normalized_adjacency(data, cache=False)  # [U+I, U+I] sym COO
+    # SparseGraph holds HOST numpy arrays (training device_puts them via
+    # model.device_put()); without this, every timed call re-uploads
+    # ~30 MB of edge arrays through the axon tunnel (~0.9 s/call — the
+    # first committed roofline measured exactly that artifact)
+    g = jax.device_put(g)
     n = data.num_users + data.num_items
     d = args.d
     x = jnp.asarray(np.random.default_rng(0).normal(size=(n, d)),
