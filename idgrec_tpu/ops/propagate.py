@@ -958,14 +958,22 @@ def fused_chain_t(
         if not include_layer0:
             outs = outs[1:]
         return outs
-    su = jnp.stack([p[0] for p in layers], axis=0)
-    si = jnp.stack([p[1] for p in layers], axis=0)
-    if reduce == "mean":
-        cu, ci = jnp.mean(su, axis=0), jnp.mean(si, axis=0)
-    elif reduce == "sum":
-        cu, ci = jnp.sum(su, axis=0), jnp.sum(si, axis=0)
-    else:
+    if reduce not in ("mean", "sum"):
         raise ValueError(f"unknown reduce {reduce!r}")
+    # running accumulation, equivalent to stack+reduce: measured on the
+    # v5e (scripts/profile_step_other.py) XLA fuses either form to the
+    # same time — this one just never names the [L, d, N] stack.
+    # Summation order (((h0+h1)+h2)+h3) matches jnp.sum's sequential
+    # reduction over axis 0, so per-app/chain exactness tests still pin
+    cu, ci = layers[0]
+    for pu, pi in layers[1:]:
+        cu = cu + pu
+        ci = ci + pi
+    if reduce == "mean":
+        # divide (not multiply-by-reciprocal): bit-matches jnp.mean's
+        # lowering for layer counts whose reciprocal is inexact (L=3)
+        n = jnp.float32(len(layers))
+        cu, ci = cu / n, ci / n
     return _back((cu, ci)).astype(emb0.dtype)
 
 
@@ -1077,16 +1085,20 @@ def fused_chain_views_t(
             layer_u[c].append(hus[c])
             layer_i[c].append(his[c])
 
+    if reduce not in ("mean", "sum"):
+        raise ValueError(f"unknown reduce {reduce!r}")
     outs = []
     for c in range(k):
-        su = jnp.stack(layer_u[c], axis=0)
-        si = jnp.stack(layer_i[c], axis=0)
+        # combine with the SAME sequential accumulation (and divide) as
+        # fused_chain_t so the clean chain stays BIT-identical to the
+        # single-chain path for any layer count
+        au, ai = layer_u[c][0], layer_i[c][0]
+        for pu, pi in zip(layer_u[c][1:], layer_i[c][1:]):
+            au = au + pu
+            ai = ai + pi
         if reduce == "mean":
-            au, ai = jnp.mean(su, axis=0), jnp.mean(si, axis=0)
-        elif reduce == "sum":
-            au, ai = jnp.sum(su, axis=0), jnp.sum(si, axis=0)
-        else:
-            raise ValueError(f"unknown reduce {reduce!r}")
+            n = jnp.float32(len(layer_u[c]))
+            au, ai = au / n, ai / n
         outs.append(
             jnp.concatenate([au[:, :nu], ai[:, :ni]], axis=1).T.astype(emb0.dtype)
         )
