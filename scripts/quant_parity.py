@@ -32,6 +32,11 @@ def main() -> None:
     ap.add_argument("--scale", type=float, default=1.0,
                     help="shrink factor for a faster smoke run")
     ap.add_argument("--modes", default="bfloat16,int8,int4")
+    ap.add_argument("--model", default="LightGCN",
+                    help="LightGCN (default) or EGCF — the two headline "
+                         "models; EGCF gets its reference SSL keys")
+    ap.add_argument("--out", default=None,
+                    help="also write the JSON to this path")
     args = ap.parse_args()
 
     import jax
@@ -56,8 +61,12 @@ def main() -> None:
             "reg_lambda": "0.0001", "GCN_layer": "3",
             "compute_dtype": cdt,
         })
+        if args.model == "EGCF":
+            # reference configure/EGCF.txt SSL keys
+            cfg = Config({**dict(cfg.items()), "ssl_lambda": "0.2",
+                          "temperature": "0.2", "mode": "parallel"})
         t0 = time.time()
-        res = train_model("LightGCN", data, config=cfg, seed=2024,
+        res = train_model(args.model, data, config=cfg, seed=2024,
                           log_dir=None, echo=False)
         results[cdt] = {
             "recall@20": float(res.best.recall[0]),
@@ -68,6 +77,7 @@ def main() -> None:
         print(f"{cdt}: {results[cdt]}", file=sys.stderr, flush=True)
     out = {"results": results,
            "platform": jax.default_backend(),
+           "model": args.model,
            "scale": args.scale}
     base = results.get("bfloat16")
     if base:
@@ -76,6 +86,9 @@ def main() -> None:
                 out[f"{cdt}_recall_rel_delta"] = round(
                     r["recall@20"] / base["recall@20"] - 1.0, 4)
     print(json.dumps(out))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
 
 
 if __name__ == "__main__":
