@@ -225,8 +225,17 @@ def lightgcn_propagate(
             "num_layers=0 with include_layer0=False leaves no embeddings "
             "to combine (GCN_layer must be >= 1 for this model)"
         )
+    from idgrec_tpu.ops import chainmm as _chainmm
     from idgrec_tpu.ops import propagate as _prop
 
+    if _chainmm.supports_chain_resident(graph, emb0.shape[1], num_layers,
+                                        reduce, None):
+        # quantized fused backend, reduce-mode chain: ONE Pallas launch
+        # for the whole K-layer chain with VMEM-resident activations,
+        # scales, and combine (ops/chainmm.py) — per-sweep HBM traffic
+        # is the adjacency read alone; bit-identical results
+        return _chainmm.fused_chain_resident(graph, emb0, num_layers,
+                                             include_layer0, reduce)
     if num_layers > 0 and _prop.supports_chain_t(graph, emb0.shape[1]):
         # quantized fused backend: run the whole chain in transposed
         # [d, N] layout (N-wide MXU dots, ~1.6x faster per application

@@ -1,0 +1,425 @@
+"""Whole-chain VMEM-resident propagation (Pallas TPU mega-kernel).
+
+The quantized transposed chain (ops/propagate.fused_chain_t) launches
+one dual T-sweep kernel per layer and does the inter-sweep elementwise
+work (right-scale, int8 quantize, dequant, left-scale, layer-combine
+accumulation) in XLA between launches. Every one of those passes
+round-trips the [d, N_pad] activations through HBM — measured ~0.08 ms
+per sweep of in-chain overhead plus the layer-combine traffic
+(docs/evidence/step_cost_table.json: 1.02 ms in-chain vs 0.94 ms
+standalone per sweep).
+
+This module runs the WHOLE K-layer chain as ONE Pallas kernel with a
+(layer, row-block, col-block) grid. Activations, dequant scales, and
+the layer-combine accumulator stay resident in VMEM across all K
+sweeps; the per-layer epilogue (dequant, norm scales, combine, next
+quantize) runs on VMEM-resident data at the last grid step of each
+sweep. Per sweep, HBM traffic collapses to the packed adjacency read
+alone — the floor SCALING.md derives.
+
+The backward chain is the SAME kernel by symmetry. Forward layer:
+    h_{k+1} = l ⊙ dequant(M̂_dual(quant(r ⊙ h_k))),  c += h_{k+1}
+Backward (straight-through quantized duals, as in
+propagate.quant_fused_dual_t's custom VJP):
+    G_k = g + r ⊙ dequant(M̂_dual(quant(l ⊙ G_{k+1}))),  G_K = g
+i.e. the same sweep with (pre, post) = (l, r) instead of (r, l) and
+the combine cotangent g INJECTED each sweep instead of accumulated
+out. One kernel body, two vector bindings, one mode flag.
+
+Numerics: the integer MAC structure is identical to fused_chain_t's
+kernels (same tile shapes, operand slices, int32 accumulation and f32
+conversion points as ops/fusedmm's _tkernel_int{8,4}), and the f32
+epilogue applies the same ops in the same order as _quantize_rows /
+_qfdt_impl / fused_chain_t. Results are NOT bit-pinned to the
+per-sweep path, only ulp-close: compilers contract mul→add chains
+into FMAs at codegen (measured on XLA:CPU — the jitted trainer
+already differs from the eager test path the same way), which can
+shift the epilogue by ulps and, on a round-to-nearest tie, a
+quantized activation by 1 lsb. This is far below the int8
+quantization's own quality-pinned approximation
+(docs/evidence/quant_parity*.json); tests/test_chainmm.py pins
+value- and gradient-level agreement at 1e-5-scale tolerances.
+Capability parity anchor: reference models/LightGCN.py:36-52
+(propagation + mean combine), whose chain this accelerates.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from idgrec_tpu.ops import fusedmm
+
+# VMEM budget for the resident state (accumulators + combine + int8
+# activations + vectors + double-buffered matrix tiles). The v5e
+# accepts well past the nominal 16 MB guide figure — the wide int8
+# T-kernel already runs with ~55 MB of compiler-visible VMEM
+# (fusedmm.MAX_YI_VMEM_BYTES_WIDE rationale); measured headroom for
+# this kernel's ~52 MB at yelp2018 scale is validated on-chip
+# (scripts/microbench_chain_resident.py).
+MAX_CHAIN_VMEM_BYTES = 62 * 1024 * 1024
+
+_ROW_TILE_DEFAULT = 4096  # measured-fastest int4 T row tile (fusedmm)
+
+
+def _chain_vmem_bytes(u_pad: int, i_pad: int, d: int, quant: str, tu: int) -> int:
+    m_cols = (fusedmm.PACK_TILE // 2) if quant == "int4" else fusedmm.TI
+    n = u_pad + i_pad
+    return (
+        2 * tu * m_cols          # double-buffered matrix tiles (int8)
+        + n * d                  # qu_s + qi_s (int8)
+        + 2 * n * d * 4          # yu_s/yi_s + cu_s/ci_s (f32)
+        + 4 * 8 * n              # pre/post vectors ([1, N] padded to 8 sublanes)
+        + 4 * 1024 * 1024        # blocks, scales, slack
+    )
+
+
+def supports_chain_resident(adj, d: int, num_layers: int,
+                            reduce: str | None, activation) -> bool:
+    """Whether the resident mega-kernel can run this chain: quantized
+    fused backend, no self-loop diag, no activation, a reduce mode
+    (per-layer lists keep fused_chain_t), tile-divisible padding, VMEM
+    budget, and no model-parallel mesh (the sharded path has its own
+    collective structure)."""
+    from idgrec_tpu.ops.propagate import FusedSquareAdj
+
+    if not isinstance(adj, FusedSquareAdj) or adj.quant not in ("int8", "int4"):
+        return False
+    if num_layers < 1 or reduce not in ("mean", "sum") or activation is not None:
+        return False
+    if adj.has_diag:
+        return False
+    u_pad, i_pad = adj.padded_shape
+    ti = fusedmm.PACK_TILE if adj.quant == "int4" else fusedmm.TI
+    tu = fusedmm.pick_row_tile(u_pad, default=_ROW_TILE_DEFAULT)
+    if tu is None or i_pad % ti != 0:
+        return False
+    if _chain_vmem_bytes(u_pad, i_pad, d, adj.quant, tu) > MAX_CHAIN_VMEM_BYTES:
+        return False
+    from idgrec_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.get_active_mesh()
+    return mesh is None or mesh.shape.get("model", 1) == 1
+
+
+def _quantize_rows(zT: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """propagate._quantize_rows, re-stated here to avoid an import
+    cycle — identical ops, identical order (bit-parity requirement)."""
+    amax = jnp.max(jnp.abs(zT), axis=1, keepdims=True)
+    scale = jnp.where(amax > 0.0, amax / 127.0, 1.0).astype(jnp.float32)
+    q = jnp.round(zT / scale).astype(jnp.int8)
+    return q, scale
+
+
+def _make_chain_kernel(num_layers: int, tu: int, ti: int, quant: str,
+                       mode: str, include_layer0: bool):
+    """Kernel body closure. Grid (k, i, j): k = sweep, i = row block,
+    j = logical column block (PACK_TILE for int4, TI for int8).
+
+    mode 'fwd': epilogue computes h = post⊙(y⊙s), combine c += h, and
+    quantizes pre⊙h for the next sweep. Output = the combine c.
+    mode 'bwd': epilogue computes G = g + post⊙(y⊙s) (g VMEM-resident)
+    and quantizes pre⊙G. Output = G after the final sweep.
+    """
+    half = ti // 2
+    last_k = num_layers - 1
+
+    def kernel(
+        # inputs
+        m_ref,                     # VMEM block [tu, m_cols]
+        q0u_ref, q0i_ref,          # ANY int8 [d, U_pad]/[d, I_pad]
+        s0u_ref, s0i_ref,          # VMEM f32 [d, 1] (constant block)
+        pre_u_ref, pre_i_ref,      # ANY f32 [1, U_pad]/[1, I_pad]
+        post_u_ref, post_i_ref,    # ANY f32
+        cinit_u_ref, cinit_i_ref,  # ANY f32 [d, N_pad] (h0 fwd / g bwd)
+        # outputs
+        outu_ref, outi_ref,        # ANY f32 [d, U_pad]/[d, I_pad]
+        # scratch
+        qu_s, qi_s,                # VMEM int8 activations (current sweep)
+        su_s, si_s,                # VMEM f32 [d, 1] current dequant scales
+        yu_s, yi_s,                # VMEM f32 dual accumulators
+        cu_s, ci_s,                # VMEM f32 combine (fwd) / resident g (bwd)
+        vpre_u, vpre_i,            # VMEM f32 [1, N] vectors
+        vpost_u, vpost_i,
+        sem,                       # DMA semaphore (reused sequentially)
+    ):
+        k = pl.program_id(0)
+        i = pl.program_id(1)
+        j = pl.program_id(2)
+        ni = pl.num_programs(1)
+        nj = pl.num_programs(2)
+
+        @pl.when((k == 0) & (i == 0) & (j == 0))
+        def _init():
+            # one-time residency copies; sequential waits (~30 µs once
+            # per chain, amortized over K sweeps)
+            for src, dst in (
+                (q0u_ref, qu_s), (q0i_ref, qi_s),
+                (pre_u_ref, vpre_u), (pre_i_ref, vpre_i),
+                (post_u_ref, vpost_u), (post_i_ref, vpost_i),
+            ):
+                cp = pltpu.make_async_copy(src, dst, sem)
+                cp.start()
+                cp.wait()
+            if include_layer0 or mode == "bwd":
+                for src, dst in ((cinit_u_ref, cu_s), (cinit_i_ref, ci_s)):
+                    cp = pltpu.make_async_copy(src, dst, sem)
+                    cp.start()
+                    cp.wait()
+            su_s[...] = s0u_ref[...]
+            si_s[...] = s0i_ref[...]
+
+        d = qu_s.shape[0]
+
+        @pl.when(j == 0)
+        def _():
+            yu_s[:, pl.ds(i * tu, tu)] = jnp.zeros((d, tu), jnp.float32)
+
+        @pl.when(i == 0)
+        def _():
+            yi_s[:, pl.ds(j * ti, ti)] = jnp.zeros((d, ti), jnp.float32)
+
+        qu_blk = qu_s[:, pl.ds(i * tu, tu)]
+        if quant == "int4":
+            # exact replication of fusedmm._tkernel_int4's dot and
+            # conversion structure (mask-only unpack, >>4 on outputs)
+            raw = m_ref[...]
+            lo = raw & 0xF
+            hi16 = raw & jnp.int8(-16)
+            q1 = qi_s[:, pl.ds(j * ti, half)]
+            q2 = qi_s[:, pl.ds(j * ti + half, half)]
+            yu_s[:, pl.ds(i * tu, tu)] += (
+                jax.lax.dot_general(
+                    q1, lo, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                + (jax.lax.dot_general(
+                    q2, hi16, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32) >> 4)
+            ).astype(jnp.float32)
+            yi_s[:, pl.ds(j * ti, half)] += jax.lax.dot_general(
+                qu_blk, lo, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            yi_s[:, pl.ds(j * ti + half, half)] += (
+                jax.lax.dot_general(
+                    qu_blk, hi16, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32) >> 4
+            ).astype(jnp.float32)
+        else:  # int8 — fusedmm._tkernel_int8's structure
+            mm = m_ref[...]
+            yu_s[:, pl.ds(i * tu, tu)] += jax.lax.dot_general(
+                qi_s[:, pl.ds(j * ti, ti)], mm,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            yi_s[:, pl.ds(j * ti, ti)] += jax.lax.dot_general(
+                qu_blk, mm,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+
+        @pl.when((i == ni - 1) & (j == nj - 1))
+        def _epilogue():
+            # dequant + post-scale, in place (yu by the ITEM input's
+            # scale: yu = M @ zi — same order as _qfdt_impl then
+            # fused_chain_t: post ⊙ (raw ⊙ s))
+            yu_s[...] = vpost_u[...] * (yu_s[...] * si_s[...])
+            yi_s[...] = vpost_i[...] * (yi_s[...] * su_s[...])
+            if mode == "fwd":
+                if include_layer0:
+                    cu_s[...] += yu_s[...]
+                    ci_s[...] += yi_s[...]
+                else:
+                    # first counted layer SEEDS the combine (matches
+                    # fused_chain_t's layers[0] when layer 0 is
+                    # excluded — no 0 + x add)
+                    @pl.when(k == 0)
+                    def _():
+                        cu_s[...] = yu_s[...]
+                        ci_s[...] = yi_s[...]
+
+                    @pl.when(k > 0)
+                    def _():
+                        cu_s[...] += yu_s[...]
+                        ci_s[...] += yi_s[...]
+            else:  # bwd: inject the combine cotangent g. Every counted
+                # layer k >= 1 contributes directly to the combine, so
+                # every sweep producing G_{k>=1} injects; the final
+                # sweep (producing G_0) injects only when layer 0 is
+                # itself a combine term.
+                if include_layer0:
+                    yu_s[...] = cu_s[...] + yu_s[...]
+                    yi_s[...] = ci_s[...] + yi_s[...]
+                else:
+                    @pl.when(k < last_k)
+                    def _():
+                        yu_s[...] = cu_s[...] + yu_s[...]
+                        yi_s[...] = ci_s[...] + yi_s[...]
+
+            @pl.when(k < last_k)
+            def _requantize():
+                yu_s[...] = vpre_u[...] * yu_s[...]
+                yi_s[...] = vpre_i[...] * yi_s[...]
+                amax_u = jnp.max(jnp.abs(yu_s[...]), axis=1, keepdims=True)
+                su_s[...] = jnp.where(
+                    amax_u > 0.0, amax_u / 127.0, 1.0).astype(jnp.float32)
+                qu_s[...] = jnp.round(yu_s[...] / su_s[...]).astype(jnp.int8)
+                amax_i = jnp.max(jnp.abs(yi_s[...]), axis=1, keepdims=True)
+                si_s[...] = jnp.where(
+                    amax_i > 0.0, amax_i / 127.0, 1.0).astype(jnp.float32)
+                qi_s[...] = jnp.round(yi_s[...] / si_s[...]).astype(jnp.int8)
+
+            @pl.when(k == last_k)
+            def _emit():
+                src_u, src_i = (cu_s, ci_s) if mode == "fwd" else (yu_s, yi_s)
+                for src, dst in ((src_u, outu_ref), (src_i, outi_ref)):
+                    cp = pltpu.make_async_copy(src, dst, sem)
+                    cp.start()
+                    cp.wait()
+
+    return kernel
+
+
+def _chain_call(m, u_pad, i_pad, num_layers, quant, mode, include_layer0,
+                q0u, q0i, s0u, s0i, pre_u, pre_i, post_u, post_i,
+                cinit_u, cinit_i, interpret):
+    d = q0u.shape[0]
+    ti = fusedmm.PACK_TILE if quant == "int4" else fusedmm.TI
+    m_cols = ti // 2 if quant == "int4" else ti
+    tu = fusedmm.pick_row_tile(u_pad, default=_ROW_TILE_DEFAULT)
+    assert tu is not None and i_pad % ti == 0
+    kernel = _make_chain_kernel(num_layers, tu, ti, quant, mode, include_layer0)
+    grid = (num_layers, u_pad // tu, i_pad // ti)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tu, m_cols), lambda k, i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            any_spec, any_spec,  # q0u, q0i
+            pl.BlockSpec((d, 1), lambda k, i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, 1), lambda k, i, j: (0, 0), memory_space=pltpu.VMEM),
+            any_spec, any_spec, any_spec, any_spec,  # pre/post vectors
+            any_spec, any_spec,  # cinit
+        ],
+        out_specs=(any_spec, any_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((d, u_pad), jnp.float32),
+            jax.ShapeDtypeStruct((d, i_pad), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((d, u_pad), jnp.int8),   # qu_s
+            pltpu.VMEM((d, i_pad), jnp.int8),   # qi_s
+            pltpu.VMEM((d, 1), jnp.float32),    # su_s
+            pltpu.VMEM((d, 1), jnp.float32),    # si_s
+            pltpu.VMEM((d, u_pad), jnp.float32),  # yu_s
+            pltpu.VMEM((d, i_pad), jnp.float32),  # yi_s
+            pltpu.VMEM((d, u_pad), jnp.float32),  # cu_s
+            pltpu.VMEM((d, i_pad), jnp.float32),  # ci_s
+            pltpu.VMEM((1, u_pad), jnp.float32),  # vpre_u
+            pltpu.VMEM((1, i_pad), jnp.float32),  # vpre_i
+            pltpu.VMEM((1, u_pad), jnp.float32),  # vpost_u
+            pltpu.VMEM((1, i_pad), jnp.float32),  # vpost_i
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=_chain_vmem_bytes(u_pad, i_pad, d, quant, tu)
+            + 16 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * u_pad * i_pad * d * num_layers,
+            bytes_accessed=u_pad * m.shape[1] * num_layers
+            + (u_pad + i_pad) * d * 9,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(m, q0u, q0i, s0u, s0i, pre_u, pre_i, post_u, post_i, cinit_u, cinit_i)
+
+
+def _prep_vectors(adj, u_pad: int, i_pad: int):
+    nu, ni = adj.num_users, adj.num_items
+    pad = lambda v, n: jnp.pad(v, (0, n - v.shape[0]))[None, :]
+    ru = pad(adj.right_u, u_pad)
+    ri = pad(adj.right_i, i_pad)
+    lu = pad(adj.left_u, u_pad)
+    li = pad(adj.left_i, i_pad)
+    return ru, ri, lu, li
+
+
+def _run_chain(adj, xT_u, xT_i, num_layers, include_layer0, mode):
+    """Shared fwd/bwd driver: prologue quantize of pre⊙x in XLA (one
+    pass), then the mega-kernel. xT_u/[d, U_pad], xT_i [d, I_pad] is h0
+    (fwd) / the scaled combine cotangent g (bwd)."""
+    u_pad, i_pad = adj.padded_shape
+    ru, ri, lu, li = _prep_vectors(adj, u_pad, i_pad)
+    pre_u, pre_i, post_u, post_i = (
+        (ru, ri, lu, li) if mode == "fwd" else (lu, li, ru, ri)
+    )
+    q0u, s0u = _quantize_rows(pre_u * xT_u)
+    q0i, s0i = _quantize_rows(pre_i * xT_i)
+    return _chain_call(
+        adj.m8, u_pad, i_pad, num_layers, adj.quant, mode, include_layer0,
+        q0u, q0i, s0u, s0i, pre_u, pre_i, post_u, post_i,
+        xT_u, xT_i, adj.interpret,
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _chain_resident_T(adj, embT, num_layers, include_layer0, reduce):
+    """Combined chain output in [d, nu+ni] layout (unpadded)."""
+    return _chain_fwd(adj, embT, num_layers, include_layer0, reduce)[0]
+
+
+def _chain_fwd(adj, embT, num_layers, include_layer0, reduce):
+    nu, ni = adj.num_users, adj.num_items
+    u_pad, i_pad = adj.padded_shape
+    xu = jnp.pad(embT[:, :nu], ((0, 0), (0, u_pad - nu)))
+    xi = jnp.pad(embT[:, nu:], ((0, 0), (0, i_pad - ni)))
+    cu, ci = _run_chain(adj, xu, xi, num_layers, include_layer0, "fwd")
+    n_terms = num_layers + (1 if include_layer0 else 0)
+    if reduce == "mean":
+        # divide, not multiply-by-reciprocal: bit-matches jnp.mean
+        # (fused_chain_t's rationale)
+        cu, ci = cu / jnp.float32(n_terms), ci / jnp.float32(n_terms)
+    out = jnp.concatenate([cu[:, :nu], ci[:, :ni]], axis=1)
+    return out, (adj,)
+
+
+def _chain_bwd(num_layers, include_layer0, reduce, res, gT):
+    (adj,) = res
+    nu, ni = adj.num_users, adj.num_items
+    u_pad, i_pad = adj.padded_shape
+    n_terms = num_layers + (1 if include_layer0 else 0)
+    if reduce == "mean":
+        gT = gT / jnp.float32(n_terms)
+    gu = jnp.pad(gT[:, :nu], ((0, 0), (0, u_pad - nu)))
+    gi = jnp.pad(gT[:, nu:], ((0, 0), (0, i_pad - ni)))
+    # The kernel's inject recursion G_k = g + r⊙Λ*(l⊙G_{k+1}) already
+    # carries the direct combine term of every layer, INCLUDING layer 0
+    # when include_layer0 (the final sweep's inject) — no extra add.
+    Gu, Gi = _run_chain(adj, gu, gi, num_layers, include_layer0, "bwd")
+    dembT = jnp.concatenate([Gu[:, :nu], Gi[:, :ni]], axis=1)
+    return (None, dembT)
+
+
+_chain_resident_T.defvjp(_chain_fwd, _chain_bwd)
+
+
+def fused_chain_resident(adj, emb0: jnp.ndarray, num_layers: int,
+                         include_layer0: bool = True,
+                         reduce: str = "mean") -> jnp.ndarray:
+    """Drop-in twin of propagate.fused_chain_t for reduce modes —
+    whole chain in one kernel launch, VMEM-resident state, HBM traffic
+    = K adjacency reads. Outputs and gradients agree with the
+    per-sweep chain to compiler-FMA ulps (module docstring;
+    tests/test_chainmm.py)."""
+    embT = emb0.astype(jnp.float32).T
+    outT = _chain_resident_T(adj, embT, num_layers, include_layer0, reduce)
+    return outT.T.astype(emb0.dtype)
