@@ -12,10 +12,14 @@ standalone per sweep).
 This module runs the WHOLE K-layer chain as ONE Pallas kernel with a
 (layer, row-block, col-block) grid. Activations, dequant scales, and
 the layer-combine accumulator stay resident in VMEM across all K
-sweeps; the per-layer epilogue (dequant, norm scales, combine, next
-quantize) runs on VMEM-resident data at the last grid step of each
-sweep. Per sweep, HBM traffic collapses to the packed adjacency read
-alone — the floor SCALING.md derives.
+sweeps, and the inter-sweep elementwise work is DISTRIBUTED across
+grid steps so it pipelines against DMAs and MXU dots instead of
+serializing between sweeps: each output block's dequant + norm scale
++ combine + pre-scale + amax runs at that block's completion step,
+and the next sweep's int8 round() runs lazily at each block's first
+consumption; only a [d, 1] scale computation remains at the sweep
+boundary. Per sweep, HBM traffic collapses to the packed adjacency
+read alone — the floor SCALING.md derives.
 
 The backward chain is the SAME kernel by symmetry. Forward layer:
     h_{k+1} = l ⊙ dequant(M̂_dual(quant(r ⊙ h_k))),  c += h_{k+1}
@@ -117,7 +121,8 @@ def _quantize_rows(zT: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def _make_chain_kernel(num_layers: int, tu: int, ti: int, quant: str,
-                       mode: str, include_layer0: bool):
+                       mode: str, include_layer0: bool,
+                       debug_level: int = 0):
     """Kernel body closure. Grid (k, i, j): k = sweep, i = row block,
     j = logical column block (PACK_TILE for int4, TI for int8).
 
@@ -125,6 +130,10 @@ def _make_chain_kernel(num_layers: int, tu: int, ti: int, quant: str,
     quantizes pre⊙h for the next sweep. Output = the combine c.
     mode 'bwd': epilogue computes G = g + post⊙(y⊙s) (g VMEM-resident)
     and quantizes pre⊙G. Output = G after the final sweep.
+
+    debug_level (scripts/probe_chain_parts.py cost attribution ONLY —
+    numerically wrong): 1 = skip completion chunks + scales,
+    2 = additionally skip the lazy rounds (pure dot core).
     """
     half = ti // 2
     last_k = num_layers - 1
@@ -142,6 +151,7 @@ def _make_chain_kernel(num_layers: int, tu: int, ti: int, quant: str,
         # scratch
         qu_s, qi_s,                # VMEM int8 activations (current sweep)
         su_s, si_s,                # VMEM f32 [d, 1] current dequant scales
+        amaxu_s, amaxi_s,          # VMEM f32 [d, 1] next-scale amax accum
         yu_s, yi_s,                # VMEM f32 dual accumulators
         cu_s, ci_s,                # VMEM f32 combine (fwd) / resident g (bwd)
         vpre_u, vpre_i,            # VMEM f32 [1, N] vectors
@@ -176,12 +186,31 @@ def _make_chain_kernel(num_layers: int, tu: int, ti: int, quant: str,
 
         d = qu_s.shape[0]
 
+        # ---- lazy per-block quantize of the PREVIOUS sweep's output,
+        # at each block's first consumption (j==0 for user blocks,
+        # i==0 for item blocks). The z values were stored into yu_s /
+        # yi_s by that sweep's completion chunks; the scales were
+        # finalized at its last grid step. Distributing the round()
+        # across grid steps (instead of one serial inter-sweep block)
+        # lets it pipeline against other blocks' DMAs and MXU dots.
         @pl.when(j == 0)
-        def _():
+        def _consume_u():
+            if debug_level < 2:
+                @pl.when(k > 0)
+                def _():
+                    qu_s[:, pl.ds(i * tu, tu)] = jnp.round(
+                        yu_s[:, pl.ds(i * tu, tu)] / su_s[...]).astype(jnp.int8)
+
             yu_s[:, pl.ds(i * tu, tu)] = jnp.zeros((d, tu), jnp.float32)
 
         @pl.when(i == 0)
-        def _():
+        def _consume_i():
+            if debug_level < 2:
+                @pl.when(k > 0)
+                def _():
+                    qi_s[:, pl.ds(j * ti, ti)] = jnp.round(
+                        yi_s[:, pl.ds(j * ti, ti)] / si_s[...]).astype(jnp.int8)
+
             yi_s[:, pl.ds(j * ti, ti)] = jnp.zeros((d, ti), jnp.float32)
 
         qu_blk = qu_s[:, pl.ds(i * tu, tu)]
@@ -223,56 +252,83 @@ def _make_chain_kernel(num_layers: int, tu: int, ti: int, quant: str,
                 preferred_element_type=jnp.int32,
             ).astype(jnp.float32)
 
-        @pl.when((i == ni - 1) & (j == nj - 1))
-        def _epilogue():
-            # dequant + post-scale, in place (yu by the ITEM input's
-            # scale: yu = M @ zi — same order as _qfdt_impl then
-            # fused_chain_t: post ⊙ (raw ⊙ s))
-            yu_s[...] = vpost_u[...] * (yu_s[...] * si_s[...])
-            yi_s[...] = vpost_i[...] * (yi_s[...] * su_s[...])
+        # ---- per-block completion chunks. A user block i finishes its
+        # reduction at (k, i, nj-1); an item block j at (k, ni-1, j).
+        # Each chunk dequants (yu by the ITEM input's scale: yu = M@zi
+        # — same op order as _qfdt_impl then fused_chain_t:
+        # post ⊙ (raw ⊙ s)), folds the combine (fwd) / cotangent
+        # inject (bwd), stores the next sweep's pre-scaled z in place,
+        # and max-accumulates the per-feature amax. Only the [d, 1]
+        # scale computation remains at the sweep's final grid step —
+        # the O(N·d) inter-sweep work all pipelines with other blocks'
+        # DMAs and dots.
+        def _chunk(blk, y_s, c_s, vpost, vpre, s_in, amax_s, first):
+            nh = vpost[:, blk] * (y_s[:, blk] * s_in[...])
             if mode == "fwd":
                 if include_layer0:
-                    cu_s[...] += yu_s[...]
-                    ci_s[...] += yi_s[...]
+                    c_s[:, blk] += nh
                 else:
-                    # first counted layer SEEDS the combine (matches
-                    # fused_chain_t's layers[0] when layer 0 is
-                    # excluded — no 0 + x add)
                     @pl.when(k == 0)
                     def _():
-                        cu_s[...] = yu_s[...]
-                        ci_s[...] = yi_s[...]
+                        # first counted layer SEEDS the combine
+                        # (matches fused_chain_t's layers[0] when
+                        # layer 0 is excluded — no 0 + x add)
+                        c_s[:, blk] = nh
 
                     @pl.when(k > 0)
                     def _():
-                        cu_s[...] += yu_s[...]
-                        ci_s[...] += yi_s[...]
-            else:  # bwd: inject the combine cotangent g. Every counted
+                        c_s[:, blk] += nh
+                store = nh
+            else:
+                # bwd: inject the combine cotangent g. Every counted
                 # layer k >= 1 contributes directly to the combine, so
                 # every sweep producing G_{k>=1} injects; the final
                 # sweep (producing G_0) injects only when layer 0 is
                 # itself a combine term.
                 if include_layer0:
-                    yu_s[...] = cu_s[...] + yu_s[...]
-                    yi_s[...] = ci_s[...] + yi_s[...]
+                    store = c_s[:, blk] + nh
+                elif num_layers > 1:
+                    store = jnp.where(k < last_k, c_s[:, blk] + nh, nh)
                 else:
-                    @pl.when(k < last_k)
-                    def _():
-                        yu_s[...] = cu_s[...] + yu_s[...]
-                        yi_s[...] = ci_s[...] + yi_s[...]
+                    store = nh
+            y_s[:, blk] = store
 
             @pl.when(k < last_k)
-            def _requantize():
-                yu_s[...] = vpre_u[...] * yu_s[...]
-                yi_s[...] = vpre_i[...] * yi_s[...]
-                amax_u = jnp.max(jnp.abs(yu_s[...]), axis=1, keepdims=True)
-                su_s[...] = jnp.where(
-                    amax_u > 0.0, amax_u / 127.0, 1.0).astype(jnp.float32)
-                qu_s[...] = jnp.round(yu_s[...] / su_s[...]).astype(jnp.int8)
-                amax_i = jnp.max(jnp.abs(yi_s[...]), axis=1, keepdims=True)
-                si_s[...] = jnp.where(
-                    amax_i > 0.0, amax_i / 127.0, 1.0).astype(jnp.float32)
-                qi_s[...] = jnp.round(yi_s[...] / si_s[...]).astype(jnp.int8)
+            def _prescale():
+                z = vpre[:, blk] * y_s[:, blk]
+                y_s[:, blk] = z
+                local = jnp.max(jnp.abs(z), axis=1, keepdims=True)
+
+                @pl.when(first)
+                def _():
+                    amax_s[...] = local
+
+                @pl.when(jnp.logical_not(first))
+                def _():
+                    amax_s[...] = jnp.maximum(amax_s[...], local)
+
+        if debug_level == 0:
+            @pl.when(j == nj - 1)
+            def _chunk_u():
+                _chunk(pl.ds(i * tu, tu), yu_s, cu_s, vpost_u, vpre_u,
+                       si_s, amaxu_s, i == 0)
+
+            @pl.when(i == ni - 1)
+            def _chunk_i():
+                _chunk(pl.ds(j * ti, ti), yi_s, ci_s, vpost_i, vpre_i,
+                       su_s, amaxi_s, j == 0)
+
+        @pl.when((i == ni - 1) & (j == nj - 1))
+        def _sweep_end():
+            if debug_level == 0:
+                @pl.when(k < last_k)
+                def _scales():
+                    su_s[...] = jnp.where(
+                        amaxu_s[...] > 0.0, amaxu_s[...] / 127.0, 1.0
+                    ).astype(jnp.float32)
+                    si_s[...] = jnp.where(
+                        amaxi_s[...] > 0.0, amaxi_s[...] / 127.0, 1.0
+                    ).astype(jnp.float32)
 
             @pl.when(k == last_k)
             def _emit():
@@ -287,13 +343,14 @@ def _make_chain_kernel(num_layers: int, tu: int, ti: int, quant: str,
 
 def _chain_call(m, u_pad, i_pad, num_layers, quant, mode, include_layer0,
                 q0u, q0i, s0u, s0i, pre_u, pre_i, post_u, post_i,
-                cinit_u, cinit_i, interpret):
+                cinit_u, cinit_i, interpret, debug_level: int = 0):
     d = q0u.shape[0]
     ti = fusedmm.PACK_TILE if quant == "int4" else fusedmm.TI
     m_cols = ti // 2 if quant == "int4" else ti
     tu = fusedmm.pick_row_tile(u_pad, default=_ROW_TILE_DEFAULT)
     assert tu is not None and i_pad % ti == 0
-    kernel = _make_chain_kernel(num_layers, tu, ti, quant, mode, include_layer0)
+    kernel = _make_chain_kernel(num_layers, tu, ti, quant, mode,
+                                include_layer0, debug_level)
     grid = (num_layers, u_pad // tu, i_pad // ti)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     return pl.pallas_call(
@@ -318,6 +375,8 @@ def _chain_call(m, u_pad, i_pad, num_layers, quant, mode, include_layer0,
             pltpu.VMEM((d, i_pad), jnp.int8),   # qi_s
             pltpu.VMEM((d, 1), jnp.float32),    # su_s
             pltpu.VMEM((d, 1), jnp.float32),    # si_s
+            pltpu.VMEM((d, 1), jnp.float32),    # amaxu_s
+            pltpu.VMEM((d, 1), jnp.float32),    # amaxi_s
             pltpu.VMEM((d, u_pad), jnp.float32),  # yu_s
             pltpu.VMEM((d, i_pad), jnp.float32),  # yi_s
             pltpu.VMEM((d, u_pad), jnp.float32),  # cu_s

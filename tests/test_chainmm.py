@@ -118,3 +118,31 @@ def test_routed_through_lightgcn_propagate(tiny_dataset, rng):
     # same path twice is process-deterministic
     again = chainmm.fused_chain_resident(adj, x, 3, True, "mean")
     assert bool(jnp.all(got == again))
+
+
+@pytest.mark.parametrize("quant", ["int8", "int4"])
+def test_resident_multiblock_grid(quant, rng):
+    """Multi-block grids exercise the DISTRIBUTED epilogue paths (the
+    tiny fixture compiles to a single-block grid): per-block completion
+    chunks at different grid steps, cross-block amax max-accumulation,
+    and lazy per-block round() at first consumption. int8 tiles at
+    TI=512 give a (3, 2, 3)+ grid at this scale."""
+    from idgrec_tpu.data.dataset import make_synthetic_dataset
+
+    data = make_synthetic_dataset(5000, 1400, 30_000, 2_000, seed=5)
+    adj = build_adjacency(data, "sym", "fused", compute_dtype=quant,
+                          emb_size=8)
+    u_pad, i_pad = adj.padded_shape
+    from idgrec_tpu.ops import fusedmm
+    tu = fusedmm.pick_row_tile(u_pad, default=chainmm._ROW_TILE_DEFAULT)
+    ti = fusedmm.PACK_TILE if quant == "int4" else fusedmm.TI
+    assert u_pad // tu >= 2, "scale must give a multi-row-block grid"
+    x = _x(data, rng)
+    ref = prop.fused_chain_t(adj, x, 3, True, "mean")
+    got = chainmm.fused_chain_resident(adj, x, 3, True, "mean")
+    npt.assert_allclose(np.asarray(got), np.asarray(ref), **NOISE)
+    g_ref = jax.grad(lambda x: jnp.sum(
+        prop.fused_chain_t(adj, x, 3, True, "mean") ** 2))(x)
+    g_got = jax.grad(lambda x: jnp.sum(
+        chainmm.fused_chain_resident(adj, x, 3, True, "mean") ** 2))(x)
+    npt.assert_allclose(np.asarray(g_got), np.asarray(g_ref), **NOISE)

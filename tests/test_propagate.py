@@ -546,8 +546,12 @@ def test_chain_t_matches_per_application_exactly(tiny_dataset, rng, quant):
     got = prop.fused_chain_t(adj, x, 3, True, "mean")
     assert bool(jnp.all(ref == got))
     # the shared helper routes through the chain
+    # the shared helper now prefers the resident whole-chain kernel
+    # (ops/chainmm.py), which agrees at the quantization noise floor
+    # rather than bitwise (chainmm docstring; test_chainmm.py pins it)
     routed = model_base.lightgcn_propagate(adj, x, 3)
-    assert bool(jnp.all(routed == got))
+    np.testing.assert_allclose(np.asarray(routed), np.asarray(got),
+                               rtol=2e-2, atol=1e-2)
     # per-layer list (lightgcn_layer_outputs contract)
     outs = model_base.lightgcn_layer_outputs(adj, x, 2)
     for a, b in zip(per_app(x, 2), outs):
