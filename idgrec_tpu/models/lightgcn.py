@@ -72,12 +72,13 @@ class LightGCN(RecModel):
     def loss_terms(self, params, state, ctx, batch, rng, epoch):
         user_e, pos_e, neg_e = self._batch_final(params, batch)
 
-        ego_user = params["user_emb"][batch["user"]]
-        ego_pos = params["item_emb"][batch["pos"]]
-        ego_neg = params["item_emb"][batch["neg"]]
-
         bpr = losses.bpr_loss(user_e, pos_e, neg_e)
-        reg = self.reg_lambda * losses.reg_loss(ego_user, ego_pos, ego_neg)
+        # scatter-free ego-L2 backward (losses.reg_loss_indexed): same
+        # value as reg_loss on the gathered ego rows, ~0.2 ms/step
+        # cheaper gradient on v5e
+        reg = self.reg_lambda * losses.reg_loss_indexed(
+            params["user_emb"], params["item_emb"],
+            batch["user"], batch["pos"], batch["neg"])
         return (bpr, reg), state
 
     def eval_embeddings(self, params, state, ctx, rng):

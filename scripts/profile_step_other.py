@@ -89,12 +89,43 @@ def full_step(u, i, consts_, opt_state_):
     return p2["user_emb"], p2["item_emb"]
 
 
+def chain_gather(u, i, consts_):
+    """chain + batch gather + scatter-add backward, no loss math —
+    isolates the gather/scatter/layout share of grad(loss)."""
+    def f(pp):
+        with model.bound_constants(consts_):
+            ua, ia = model.propagate(pp)
+        return (jnp.sum(ua[batch["user"]]) + jnp.sum(ia[batch["pos"]])
+                + jnp.sum(ia[batch["neg"]]))
+
+    g = jax.grad(f)({"user_emb": u, "item_emb": i})
+    return g["user_emb"], g["item_emb"]
+
+
+def ego_loss_only(u, i, consts_):
+    """loss heads on the EGO embeddings (no propagation chain) —
+    isolates the BPR + reg + Adam-free loss-head cost."""
+    def f(pp):
+        from idgrec_tpu.ops import losses as L
+        ue = pp["user_emb"][batch["user"]]
+        pe = pp["item_emb"][batch["pos"]]
+        ne = pp["item_emb"][batch["neg"]]
+        return L.bpr_loss(ue, pe, ne) + 1e-4 * L.reg_loss(ue, pe, ne)
+
+    g = jax.grad(f)({"user_emb": u, "item_emb": i})
+    return g["user_emb"], g["item_emb"]
+
+
 u0 = params["user_emb"]
 i0 = params["item_emb"]
 z = jnp.zeros_like
 results = {}
 results["chain.fwd+bwd(sum)"] = chain_time(
     "chain.fwd+bwd(sum)", chain_only, u0, i0, statics=(consts,))
+results["chain+gather"] = chain_time(
+    "chain+gather", chain_gather, u0, i0, statics=(consts,))
+results["ego-loss-only"] = chain_time(
+    "ego-loss-only", ego_loss_only, u0, i0, statics=(consts,))
 results["grad(loss)"] = chain_time(
     "grad(loss)", grad_loss, u0, i0, statics=(consts,))
 results["grad+adam"] = chain_time(

@@ -156,3 +156,35 @@ def test_dot_uniformity_loss(rng):
     cos = 2 - 2 * cos  # masked entries contribute exp(-4), per reference
     want = float(np.log(np.mean(np.exp(-2 * cos))))
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=1e-5)
+
+
+def test_reg_loss_indexed_matches_reg_loss():
+    """reg_loss_indexed == reg_loss(gathered rows) in value, and its
+    scatter-free count-trick gradient matches autodiff's scattered
+    gradient (exactly for rows repeated <= 4 times; see docstring)."""
+    import jax
+
+    from idgrec_tpu.ops import losses as L
+
+    rng = np.random.default_rng(11)
+    ut = jnp.asarray(rng.normal(size=(50, 8)).astype(np.float32))
+    it = jnp.asarray(rng.normal(size=(70, 8)).astype(np.float32))
+    u = jnp.asarray(rng.integers(0, 50, 32), jnp.int32)
+    p = jnp.asarray(rng.integers(0, 70, 32), jnp.int32)
+    n = jnp.asarray(rng.integers(0, 70, 32), jnp.int32)
+
+    ref_val = L.reg_loss(ut[u], it[p], it[n])
+    got_val = L.reg_loss_indexed(ut, it, u, p, n)
+    assert bool(jnp.all(ref_val == got_val))
+
+    def f_ref(ut, it):
+        return L.reg_loss(ut[u], it[p], it[n])
+
+    def f_idx(ut, it):
+        return L.reg_loss_indexed(ut, it, u, p, n)
+
+    g_ref = jax.grad(f_ref, argnums=(0, 1))(ut, it)
+    g_idx = jax.grad(f_idx, argnums=(0, 1))(ut, it)
+    for a, b in zip(g_ref, g_idx):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-6, atol=1e-7)
