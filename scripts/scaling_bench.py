@@ -131,21 +131,36 @@ def main() -> None:
     U_pad, I_pad = 32_768, 38_912          # int4 shipping padding
     steps = NNZ // B + 1
     apps = 6                                # dual sweeps per step (3 fwd + 3 bwd)
-    app_ms_1chip = 1.02                     # measured in-chain (r4)
+    app_ms_1chip = 1.02                     # measured in-chain sharded-path
+                                            # sweep (r4; the single-chip
+                                            # RESIDENT chain does not apply
+                                            # under a model mesh)
     other_fixed_ms = 0.50                   # loss heads, scan/dispatch
-    other_sharded_ms = 0.79                 # Adam + activation layout (1/n)
+    other_sharded_ms = 0.79                 # Adam + activation layout —
+                                            # table-proportional, so it
+                                            # divides by the MODEL-axis
+                                            # width (the axis that shards
+                                            # the tables), not total chips
     ici_gbps = 100.0   # conservative usable per-chip ICI for small transfers
                        # (v5e links total well above this)
     coll_bytes = I_pad * d * (1 + 4)        # int8 gather + f32 scatter
+    # Every model row assumes a PURE model-parallel mesh {data:1,
+    # model:n}: adjacency + tables + Adam all shard n ways and the
+    # chain is not redundantly replicated. (Mixed meshes like the
+    # dryrun's {data:2, model:4} divide the chain and Adam terms by
+    # model width only — the data axis replicates the forward chain —
+    # so their throughput is bounded by the model-width row.)
     model_rows = []
     for n in N_DEVICES:
-        app_s = app_ms_1chip / 1e3 / n
-        coll_s = ((n - 1) / n) * coll_bytes / (ici_gbps * 1e9)
+        n_model = n
+        app_s = app_ms_1chip / 1e3 / n_model
+        coll_s = ((n_model - 1) / n_model) * coll_bytes / (ici_gbps * 1e9)
         step_s = apps * (app_s + coll_s) + (
-            other_fixed_ms + other_sharded_ms / n) / 1e3
+            other_fixed_ms + other_sharded_ms / n_model) / 1e3
         epoch_s = steps * step_s
         model_rows.append({
             "n_chips": n,
+            "assumed_mesh": {"data": 1, "model": n_model},
             "epoch_s_model": round(epoch_s, 2),
             "pairs_per_s_model": int(NNZ / epoch_s),
             "vs_reference_17.5s": round(17.5 / epoch_s, 1),

@@ -360,3 +360,39 @@ def test_sharded_gather_gradient_bf16_embeddings():
     got = np.asarray(g(adj, xb), np.float32)
     assert got.dtype == want.dtype
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_gather_collective_bytes_match_dense_path():
+    """SCALING.md claims the sharded GATHER backend's per-application
+    collective payload is identical to the dense path's (all_gather of
+    the [i_pad, d] activations in, reduce-scatter of the output
+    shards) — pin it from compiled HLO the way the dense test does."""
+    adj = build_adjacency(DATA, "sym", "gather")
+    n = DATA.num_users + DATA.num_items
+    d = X.shape[1]
+    for model in (2, 4):
+        mesh = _mesh(model=model)
+
+        def f(adj, x):
+            with use_mesh(mesh):
+                return adj.matmul(x)
+
+        compiled = jax.jit(f).lower(adj, X).compile().as_text()
+        gathers = re.findall(r"f32\[(\d+),(\d+)\][^\n]*all-gather", compiled)
+        scatters = re.findall(r"f32\[(\d+),(\d+)\][^\n]*reduce-scatter",
+                              compiled)
+        # activations gathered at full [n_pad >= n, d] once per
+        # application; output reduce-scattered at the 1/N shard
+        assert any(int(r) >= n and int(c) == d for r, c in gathers), (
+            f"missing full-activation all-gather at model={model}: {gathers}")
+        assert any(int(r) * model <= 2 * n and int(c) == d
+                   for r, c in scatters), (
+            f"missing output-shard reduce-scatter at model={model}: "
+            f"{scatters}")
+        # and no collective carries the EDGE arrays (payload must be
+        # O(n*d) activations, never O(nnz))
+        nnz = int(DATA.num_train)
+        for r, c in gathers + scatters:
+            assert int(r) * int(c) < 4 * n * d, (
+                f"collective payload {r}x{c} scales beyond activations "
+                f"(nnz={nnz}) at model={model}")
