@@ -91,11 +91,10 @@ class EGCF(RecModel):
         pos_e = item_all[batch["pos"]]
         neg_e = item_all[batch["neg"]]
 
-        ego_pos = params["item_emb"][batch["pos"]]
-        ego_neg = params["item_emb"][batch["neg"]]
 
         bpr = losses.bpr_loss(user_e, pos_e, neg_e)
-        reg = self.reg_lambda * losses.reg_loss(ego_pos, ego_neg)
+        reg = self.reg_lambda * losses.reg_loss_counted(
+            params["item_emb"], batch["pos"], batch["neg"])
         ssl = self.ssl_lambda * (
             losses.infonce_loss(user_e, user_e, self.temperature)
             + losses.infonce_loss(pos_e, pos_e, self.temperature)

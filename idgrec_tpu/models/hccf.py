@@ -85,14 +85,11 @@ class HCCF(RecModel):
         user_e = user_all[batch["user"]]
         pos_e = item_all[batch["pos"]]
         neg_e = item_all[batch["neg"]]
-        ego_user = params["user_emb"][batch["user"]]
-        ego_pos = params["item_emb"][batch["pos"]]
-        ego_neg = params["item_emb"][batch["neg"]]
-
         bpr = losses.bpr_loss(user_e, pos_e, neg_e)
-        reg = self.reg_lambda * losses.reg_loss(
-            ego_user, ego_pos, ego_neg, params["user_hyper"], params["item_hyper"]
-        )
+        reg = self.reg_lambda * (losses.reg_loss_indexed(
+            params["user_emb"], params["item_emb"],
+            batch["user"], batch["pos"], batch["neg"])
+            + losses.reg_loss(params["user_hyper"], params["item_hyper"]))
 
         ssl = jnp.asarray(0.0, jnp.float32)
         for gnn, hyper in zip(gnn_list, hyper_list):

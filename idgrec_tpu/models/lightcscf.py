@@ -34,11 +34,10 @@ class LightCSCF(EncoderSwitchMixin, RecModel):
         pos_e = item_all[batch["pos"]]
         neg_e = item_all[batch["neg"]]
 
-        ego_user = params["user_emb"][batch["user"]]
-        ego_pos = params["item_emb"][batch["pos"]]
-        ego_neg = params["item_emb"][batch["neg"]]
 
-        reg = self.lambda_reg * losses.reg_loss(ego_user, ego_pos, ego_neg)
+        reg = self.lambda_reg * losses.reg_loss_indexed(
+            params["user_emb"], params["item_emb"],
+            batch["user"], batch["pos"], batch["neg"])
         cscf = self.lambda_gamma * losses.lightcscf_loss(
             user_e, pos_e, self.temperature, self.lambda_margin
         )

@@ -75,9 +75,8 @@ class LightGODE(RecModel):
         uniform = self.gamma * (
             losses.uniform_loss(user_e) + losses.uniform_loss(item_e)
         ) / 2.0
-        ego_user = params["user_emb"][batch["user"]]
-        ego_pos = params["item_emb"][batch["pos"]]
-        reg = self.reg_lambda * losses.reg_loss(ego_user, ego_pos)
+        reg = self.reg_lambda * (losses.reg_loss_counted(params["user_emb"], batch["user"])
+            + losses.reg_loss_counted(params["item_emb"], batch["pos"]))
         return (align, uniform, reg), state
 
     def eval_embeddings(self, params, state, ctx, rng):

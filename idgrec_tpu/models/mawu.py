@@ -49,9 +49,8 @@ class MAWU(EncoderSwitchMixin, RecModel):
         uniform = self.gamma_user * losses.dot_uniformity_loss(user_e) + \
             self.gamma_item * losses.dot_uniformity_loss(item_e)
 
-        ego_user = params["user_emb"][batch["user"]]
-        ego_pos = params["item_emb"][batch["pos"]]
-        reg = self.reg_lambda * losses.reg_loss(ego_user, ego_pos)
+        reg = self.reg_lambda * (losses.reg_loss_counted(params["user_emb"], batch["user"])
+            + losses.reg_loss_counted(params["item_emb"], batch["pos"]))
         return (align, uniform, reg), state
 
     def eval_embeddings(self, params, state, ctx, rng):

@@ -28,7 +28,9 @@ class MFBPR(RecModel):
         neg_e = params["item_emb"][batch["neg"]]
 
         bpr = losses.bpr_loss(user_e, pos_e, neg_e)
-        reg = self.reg_lambda * losses.reg_loss(user_e, pos_e, neg_e)
+        reg = self.reg_lambda * losses.reg_loss_indexed(
+            params["user_emb"], params["item_emb"],
+            batch["user"], batch["pos"], batch["neg"])
         return (bpr, reg), state
 
     def eval_embeddings(self, params, state, ctx, rng):

@@ -78,13 +78,12 @@ class MixRec(RecModel):
         cl_item = item_beta * pos_e + (1.0 - item_beta) * pos_e2
         mix_neg2 = item_beta * neg_e + (1.0 - item_beta) * neg_e2
 
-        ego_user = params["user_emb"][batch["user"]]
-        ego_pos = params["item_emb"][batch["pos"]]
-        ego_neg = params["item_emb"][batch["neg"]]
 
         bpr = item_beta * losses.bpr_loss(user_e, pos_e, neg_e)
         bpr_mix = (1.0 - item_beta) * losses.infonce_loss_all(user_e, pos_e, mix_neg2, 1.0)
-        reg = self.reg_lambda * losses.reg_loss(ego_user, ego_pos, ego_neg)
+        reg = self.reg_lambda * losses.reg_loss_indexed(
+            params["user_emb"], params["item_emb"],
+            batch["user"], batch["pos"], batch["neg"])
 
         cl_user_2 = jnp.concatenate([user_e2, mix_user], axis=0)
         cl_item_2 = jnp.concatenate([pos_e2, mix_pos], axis=0)

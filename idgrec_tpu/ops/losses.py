@@ -242,3 +242,28 @@ def _reg_idx_bwd(res, g):
 
 
 reg_loss_indexed.defvjp(_reg_idx_fwd, _reg_idx_bwd)
+
+
+@jax.custom_vjp
+def reg_loss_counted(table: jnp.ndarray, *idxs: jnp.ndarray) -> jnp.ndarray:
+    """reg_loss(table[i] for i in idxs) for ONE table — the
+    scatter-free backward of reg_loss_indexed generalized to any
+    number of index sets over a single table (user-only, item-only,
+    or pos+neg patterns across the model zoo)."""
+    return reg_loss(*(table[i] for i in idxs))
+
+
+def _reg_cnt_fwd(table, *idxs):
+    return reg_loss_counted(table, *idxs), (table, idxs)
+
+
+def _reg_cnt_bwd(res, g):
+    table, idxs = res
+    c = jnp.zeros((table.shape[0],), jnp.float32)
+    for i in idxs:
+        c = c.at[i].add(1.0 / jnp.float32(i.shape[0]))
+    d = (g * c)[:, None] * _f32(table)
+    return (d.astype(table.dtype),) + (None,) * len(idxs)
+
+
+reg_loss_counted.defvjp(_reg_cnt_fwd, _reg_cnt_bwd)

@@ -56,8 +56,18 @@ class Recommender:
         # materialize replicated scores
         self.mesh = mesh
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        with model.bound_constants(model.constants()):
-            self._repr = jax.jit(model.eval_embeddings)(params, state, ctx, rng)
+        # constants (the normalized adjacency — 100s of MB at scale)
+        # are jit ARGUMENTS, not closure captures: captured device
+        # arrays are embedded in the compiled program as literals,
+        # bloating the executable (and overflowing the axon tunnel's
+        # remote-compile request outright — measured, HTTP 413)
+
+        def _embed(p, s, c, r, consts):
+            with model.bound_constants(consts):
+                return model.eval_embeddings(p, s, c, r)
+
+        self._repr = jax.jit(_embed)(params, state, ctx, rng,
+                                     model.constants())
         jax.block_until_ready(self._repr)
         # Padded per-user positives for masking (int32 [U, P], pad col
         # num_items — dropped by scatter mode="drop"). Built with one
@@ -72,7 +82,9 @@ class Recommender:
             slots = np.arange(data.nnz) - np.repeat(data.row_ptr[:-1], deg)
             excl[rows, slots] = data.col_idx
         self._excl = excl
-        self._score = jax.jit(self._score_impl, static_argnums=(2,))
+        # _repr is likewise an argument (it is device-resident state,
+        # not program code)
+        self._score = jax.jit(self._score_impl, static_argnums=(3,))
 
     @classmethod
     def from_train_result(cls, model_name: str, data: Dataset, config: Config,
@@ -115,10 +127,11 @@ class Recommender:
         tree, _meta = ckpt.load_checkpoint(checkpoint_dir, epoch, template)
         return cls(model, tree["params"], tree["state"], (), data, **kw)
 
-    def _score_impl(self, users: jnp.ndarray, excl_rows: jnp.ndarray, k: int):
+    def _score_impl(self, repr_, users: jnp.ndarray, excl_rows: jnp.ndarray,
+                    k: int):
         from idgrec_tpu.parallel.topk import items_sharded, sharded_topk
 
-        ratings = self.model.score_batch(self._repr, users).astype(jnp.float32)
+        ratings = self.model.score_batch(repr_, users).astype(jnp.float32)
         if self.filter_seen:
             b = users.shape[0]
             row_ids = jnp.repeat(jnp.arange(b), excl_rows.shape[1])
@@ -149,5 +162,6 @@ class Recommender:
         users_pad = np.zeros(b_pad, np.int32)
         users_pad[:b] = users
         excl = jnp.asarray(self._excl[users_pad])
-        scores, items = self._score(jnp.asarray(users_pad), excl, int(k))
+        scores, items = self._score(self._repr, jnp.asarray(users_pad), excl,
+                                    int(k))
         return np.asarray(items[:b], np.int64), np.asarray(scores[:b])

@@ -188,3 +188,19 @@ def test_reg_loss_indexed_matches_reg_loss():
     for a, b in zip(g_ref, g_idx):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_reg_loss_counted_matches_reg_loss():
+    import jax
+
+    from idgrec_tpu.ops import losses as L
+
+    rng = np.random.default_rng(12)
+    t = jnp.asarray(rng.normal(size=(40, 8)).astype(np.float32))
+    p = jnp.asarray(rng.integers(0, 40, 24), jnp.int32)
+    n = jnp.asarray(rng.integers(0, 40, 24), jnp.int32)
+    assert bool(jnp.all(L.reg_loss_counted(t, p, n) == L.reg_loss(t[p], t[n])))
+    g_ref = jax.grad(lambda t: L.reg_loss(t[p], t[n]))(t)
+    g_got = jax.grad(lambda t: L.reg_loss_counted(t, p, n))(t)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               rtol=1e-6, atol=1e-7)
