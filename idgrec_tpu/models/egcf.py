@@ -57,6 +57,19 @@ class EGCF(RecModel):
             x0 = jnp.concatenate(
                 [jnp.zeros((self.num_users, item_emb.shape[1]),
                            item_emb.dtype), item_emb], axis=0)
+            from idgrec_tpu.ops import chainmm as _chainmm
+
+            if _chainmm.supports_chain_resident(
+                    self.graph, item_emb.shape[1], self.num_layers, "sum",
+                    jnp.tanh, include_layer0=False, seed=True):
+                # whole seed+tanh chain in ONE resident Pallas launch
+                # (ops/chainmm.py): per-sweep HBM collapses to the
+                # adjacency read + the per-layer tanh stream
+                acc = _chainmm.fused_chain_resident(
+                    self.graph, x0, self.num_layers, include_layer0=False,
+                    reduce="sum", activation=jnp.tanh,
+                    seed_users_from_items=True)
+                return split_user_item(acc, self.num_users)
             if self.num_layers > 0 and _prop.supports_chain_t(
                     self.graph, item_emb.shape[1]):
                 # quantized fused backend: the user seed AND every tanh

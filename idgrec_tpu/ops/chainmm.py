@@ -86,17 +86,26 @@ def _chain_vmem_bytes(u_pad: int, i_pad: int, d: int, quant: str, tu: int) -> in
 
 
 def supports_chain_resident(adj, d: int, num_layers: int,
-                            reduce: str | None, activation) -> bool:
+                            reduce: str | None, activation,
+                            include_layer0: bool = True,
+                            seed: bool = False) -> bool:
     """Whether the resident mega-kernel can run this chain: quantized
-    fused backend, no self-loop diag, no activation, a reduce mode
-    (per-layer lists keep fused_chain_t), tile-divisible padding, VMEM
-    budget, and no model-parallel mesh (the sharded path has its own
-    collective structure)."""
+    fused backend, no self-loop diag, activation None or jnp.tanh
+    (tanh chains require include_layer0=False — the EGCF family), a
+    reduce mode (per-layer lists keep fused_chain_t), tile-divisible
+    padding, VMEM budget, and no model-parallel mesh (the sharded path
+    has its own collective structure)."""
     from idgrec_tpu.ops.propagate import FusedSquareAdj
 
     if not isinstance(adj, FusedSquareAdj) or adj.quant not in ("int8", "int4"):
         return False
-    if num_layers < 1 or reduce not in ("mean", "sum") or activation is not None:
+    if num_layers < 1 or reduce not in ("mean", "sum"):
+        return False
+    if activation is not None and activation is not jnp.tanh:
+        return False
+    if (activation is not None or seed) and include_layer0:
+        return False
+    if seed and activation is None:
         return False
     if adj.has_diag:
         return False
@@ -124,42 +133,71 @@ def _quantize_rows(zT: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 
 def _make_chain_kernel(num_layers: int, tu: int, ti: int, quant: str,
                        mode: str, include_layer0: bool,
-                       debug_level: int = 0):
+                       debug_level: int = 0, activation: str | None = None,
+                       seed: bool = False):
     """Kernel body closure. Grid (k, i, j): k = sweep, i = row block,
     j = logical column block (PACK_TILE for int4, TI for int8).
 
-    mode 'fwd': epilogue computes h = post⊙(y⊙s), combine c += h, and
-    quantizes pre⊙h for the next sweep. Output = the combine c.
+    mode 'fwd': epilogue computes h = act(post⊙(y⊙s)), combine c += h,
+    and quantizes pre⊙h for the next sweep. Output = the combine c.
     mode 'bwd': epilogue computes G = g + post⊙(y⊙s) (g VMEM-resident)
-    and quantizes pre⊙G. Output = G after the final sweep.
+    and quantizes pre⊙((1-h²)⊙G) for the next sweep (tanh chains).
+    Output = G after the final sweep.
+
+    activation 'tanh' (EGCF, reference models/EGCF.py:73-84): forward
+    applies tanh in each completion chunk and streams the per-layer
+    tanh outputs to HBM (hs outputs) for the backward's derivative.
+    seed (EGCF parallel mode, models/EGCF.py:67-72): forward sweep 0
+    seeds hu = tanh(lu⊙M(ri⊙E_i)) while the item side stays E_i (its
+    quantization carries unchanged into counted layer 1); backward
+    appends one extra sweep mapping G_0's user side back to the item
+    embeddings through the seed application (the user input is the
+    zero vector, so d(x0_user) = 0 exactly).
 
     debug_level (scripts/probe_chain_parts.py cost attribution ONLY —
     numerically wrong): 1 = skip completion chunks + scales,
     2 = additionally skip the lazy rounds (pure dot core).
     """
     half = ti // 2
-    last_k = num_layers - 1
+    S = 1 if seed else 0
+    n_sweeps = num_layers + S
+    last_k = n_sweeps - 1
+    # bwd inject bound (include_layer0=False): G_k injects g for
+    # layers k >= 1 only — sweeps t < num_layers - 1
+    inject_lim = num_layers - 1
+    if seed:
+        assert not include_layer0, "seed semantics exclude layer 0"
+        assert mode in ("fwd", "bwd")
+        assert activation == "tanh", "seed is defined with tanh"
 
-    def kernel(
-        # inputs
-        m_ref,                     # VMEM block [tu, m_cols]
-        q0u_ref, q0i_ref,          # ANY int8 [d, U_pad]/[d, I_pad]
-        s0u_ref, s0i_ref,          # VMEM f32 [d, 1] (constant block)
-        pre_u_ref, pre_i_ref,      # ANY f32 [1, U_pad]/[1, I_pad]
-        post_u_ref, post_i_ref,    # ANY f32
-        cinit_u_ref, cinit_i_ref,  # ANY f32 [d, N_pad] (h0 fwd / g bwd)
-        # outputs
-        outu_ref, outi_ref,        # ANY f32 [d, U_pad]/[d, I_pad]
-        # scratch
-        qu_s, qi_s,                # VMEM int8 activations (current sweep)
-        su_s, si_s,                # VMEM f32 [d, 1] current dequant scales
-        amaxu_s, amaxi_s,          # VMEM f32 [d, 1] next-scale amax accum
-        yu_s, yi_s,                # VMEM f32 dual accumulators
-        cu_s, ci_s,                # VMEM f32 combine (fwd) / resident g (bwd)
-        vpre_u, vpre_i,            # VMEM f32 [1, N] vectors
-        vpost_u, vpost_i,
-        sem,                       # DMA semaphore (reused sequentially)
-    ):
+    def kernel(*refs):
+        (m_ref,                    # VMEM block [tu, m_cols]
+         q0u_ref, q0i_ref,         # ANY int8 [d, U_pad]/[d, I_pad]
+         s0u_ref, s0i_ref,         # VMEM f32 [d, 1] (constant block)
+         pre_u_ref, pre_i_ref,     # ANY f32 [1, U_pad]/[1, I_pad]
+         post_u_ref, post_i_ref,   # ANY f32
+         cinit_u_ref, cinit_i_ref) = refs[:11]
+        refs = refs[11:]
+        if activation and mode == "bwd":
+            hsu_in, hsi_in = refs[:2]  # ANY f32 [n_fwd, d, N]
+            refs = refs[2:]
+        outu_ref, outi_ref = refs[:2]  # ANY f32 [d, U_pad]/[d, I_pad]
+        refs = refs[2:]
+        if activation and mode == "fwd":
+            hsu_out, hsi_out = refs[:2]  # ANY f32 [n_sweeps, d, N]
+            refs = refs[2:]
+        (qu_s, qi_s,               # VMEM int8 activations (current sweep)
+         su_s, si_s,               # VMEM f32 [d, 1] current dequant scales
+         amaxu_s, amaxi_s,         # VMEM f32 [d, 1] next-scale amax accum
+         yu_s, yi_s,               # VMEM f32 dual accumulators
+         cu_s, ci_s,               # VMEM f32 combine (fwd) / resident g (bwd)
+         vpre_u, vpre_i,           # VMEM f32 [1, N] vectors
+         vpost_u, vpost_i,
+         sem) = refs[:15]          # DMA semaphore (reused sequentially)
+        refs = refs[15:]
+        if activation:
+            stage_u, stage_i, sem2 = refs  # [d, tu]/[d, ti] f32 staging
+
         k = pl.program_id(0)
         i = pl.program_id(1)
         j = pl.program_id(2)
@@ -208,7 +246,13 @@ def _make_chain_kernel(num_layers: int, tu: int, ti: int, quant: str,
         @pl.when(i == 0)
         def _consume_i():
             if debug_level < 2:
-                @pl.when(k > 0)
+                # FORWARD seed only: the first counted layer reuses the
+                # seed's item quantization unchanged (its input IS
+                # ri⊙E_i again) — no round until k > 1 there. The
+                # backward rounds every sweep.
+                round_after = S if mode == "fwd" else 0
+
+                @pl.when(k > round_after)
                 def _():
                     qi_s[:, pl.ds(j * ti, ti)] = jnp.round(
                         yi_s[:, pl.ds(j * ti, ti)] / si_s[...]).astype(jnp.int8)
@@ -264,7 +308,20 @@ def _make_chain_kernel(num_layers: int, tu: int, ti: int, quant: str,
         # scale computation remains at the sweep's final grid step —
         # the O(N·d) inter-sweep work all pipelines with other blocks'
         # DMAs and dots.
+        def _amax_update(amax_s, z, first):
+            local = jnp.max(jnp.abs(z), axis=1, keepdims=True)
+
+            @pl.when(first)
+            def _():
+                amax_s[...] = local
+
+            @pl.when(jnp.logical_not(first))
+            def _():
+                amax_s[...] = jnp.maximum(amax_s[...], local)
+
         def _chunk(blk, y_s, c_s, vpost, vpre, s_in, amax_s, first):
+            """Plain (activation=None) chunk — unchanged from the
+            LightGCN-path version; bit-compatible with it."""
             nh = vpost[:, blk] * (y_s[:, blk] * s_in[...])
             if mode == "fwd":
                 if include_layer0:
@@ -299,26 +356,162 @@ def _make_chain_kernel(num_layers: int, tu: int, ti: int, quant: str,
             def _prescale():
                 z = vpre[:, blk] * y_s[:, blk]
                 y_s[:, blk] = z
-                local = jnp.max(jnp.abs(z), axis=1, keepdims=True)
+                _amax_update(amax_s, z, first)
 
-                @pl.when(first)
-                def _():
-                    amax_s[...] = local
+        def _fetch_h(hs_ref, hidx, blk, stage, semx):
+            cp = pltpu.make_async_copy(hs_ref.at[hidx, :, blk], stage, semx)
+            cp.start()
+            cp.wait()
 
-                @pl.when(jnp.logical_not(first))
+        def _chunk_fwd_act(blk, y_s, c_s, vpost, vpre, s_in, amax_s, first,
+                           hs_out, stage, semx):
+            """tanh chunk (fwd): h streams to HBM for the backward."""
+            stage[...] = jnp.tanh(vpost[:, blk] * (y_s[:, blk] * s_in[...]))
+            cp = pltpu.make_async_copy(stage, hs_out.at[k, :, blk], semx)
+            cp.start()
+            cp.wait()
+            # combine (sum over counted layers; include_layer0=False is
+            # asserted for activation chains): the first counted sweep
+            # (k == S) seeds the accumulator; with seed, k == 0 is the
+            # seed sweep — not a combine term — and neither branch fires
+            @pl.when(k == S)
+            def _():
+                c_s[:, blk] = stage[...]
+
+            @pl.when(k > S)
+            def _():
+                c_s[:, blk] += stage[...]
+
+            @pl.when(k < last_k)
+            def _prescale():
+                z = vpre[:, blk] * stage[...]
+                y_s[:, blk] = z
+                _amax_update(amax_s, z, first)
+
+        def _chunk_bwd_act(blk, y_s, c_s, vpost, vpre, s_in, amax_s, first,
+                           hs_in, stage, semx, side_u):
+            """tanh chunk (bwd): out = post⊙(y⊙s); G = [g +] out; next
+            input z = pre⊙((1-h²)⊙G) with h fetched from the forward's
+            stream. With seed, sweep t = num_layers-1 produces G_0
+            (stored into the freed g-buffer for the final seed-bwd
+            sweep) and only the user side prepares a next input; the
+            final sweep emits dE_i = G_0_i + pre_i⊙(y_i⊙s)."""
+            out = vpost[:, blk] * (y_s[:, blk] * s_in[...])
+            if seed:
+                @pl.when(k < inject_lim)
                 def _():
-                    amax_s[...] = jnp.maximum(amax_s[...], local)
+                    y_s[:, blk] = c_s[:, blk] + out
+
+                @pl.when(k == inject_lim)
+                def _():
+                    # G_0: no inject; park it in the g-buffer (g is
+                    # dead from here on) for the seed-bwd sweep
+                    y_s[:, blk] = out
+                    c_s[:, blk] = out
+
+                if side_u:
+                    @pl.when(k == inject_lim)
+                    def _():
+                        # prep the seed-bwd input from hu_seed (slice 0)
+                        _fetch_h(hs_in, 0, blk, stage, semx)
+                        z = vpre[:, blk] * (
+                            (1.0 - stage[...] * stage[...]) * y_s[:, blk])
+                        y_s[:, blk] = z
+                        _amax_update(amax_s, z, first)
+                else:
+                    @pl.when(k == last_k)
+                    def _():
+                        # dE_i = G_0_i + ri⊙(Mᵀq(z_u)⊙s); `out` above
+                        # is exactly the seed-chain term (vpost = r in
+                        # the backward binding)
+                        y_s[:, blk] = c_s[:, blk] + out
+                # counted sweeps before G_0: standard tanh prescale
+                @pl.when(k < inject_lim)
+                def _():
+                    hidx = (num_layers - 1) - k
+                    _fetch_h(hs_in, hidx, blk, stage, semx)
+                    z = vpre[:, blk] * (
+                        (1.0 - stage[...] * stage[...]) * y_s[:, blk])
+                    y_s[:, blk] = z
+                    _amax_update(amax_s, z, first)
+            else:
+                if include_layer0:
+                    y_s[:, blk] = c_s[:, blk] + out
+                elif num_layers > 1:
+                    y_s[:, blk] = jnp.where(k < last_k, c_s[:, blk] + out, out)
+                else:
+                    y_s[:, blk] = out
+
+                @pl.when(k < last_k)
+                def _():
+                    hidx = (num_layers - 2) - k
+                    _fetch_h(hs_in, hidx, blk, stage, semx)
+                    z = vpre[:, blk] * (
+                        (1.0 - stage[...] * stage[...]) * y_s[:, blk])
+                    y_s[:, blk] = z
+                    _amax_update(amax_s, z, first)
 
         if debug_level == 0:
-            @pl.when(j == nj - 1)
-            def _chunk_u():
-                _chunk(pl.ds(i * tu, tu), yu_s, cu_s, vpost_u, vpre_u,
-                       si_s, amaxu_s, i == 0)
+            if activation is None:
+                @pl.when(j == nj - 1)
+                def _chunk_u():
+                    _chunk(pl.ds(i * tu, tu), yu_s, cu_s, vpost_u, vpre_u,
+                           si_s, amaxu_s, i == 0)
 
-            @pl.when(i == ni - 1)
-            def _chunk_i():
-                _chunk(pl.ds(j * ti, ti), yi_s, ci_s, vpost_i, vpre_i,
-                       su_s, amaxi_s, j == 0)
+                @pl.when(i == ni - 1)
+                def _chunk_i():
+                    _chunk(pl.ds(j * ti, ti), yi_s, ci_s, vpost_i, vpre_i,
+                           su_s, amaxi_s, j == 0)
+            elif mode == "fwd":
+                @pl.when(j == nj - 1)
+                def _chunk_u_act():
+                    _chunk_fwd_act(pl.ds(i * tu, tu), yu_s, cu_s, vpost_u,
+                                   vpre_u, si_s, amaxu_s, i == 0,
+                                   hsu_out, stage_u, sem2)
+
+                def _ci():
+                    _chunk_fwd_act(pl.ds(j * ti, ti), yi_s, ci_s, vpost_i,
+                                   vpre_i, su_s, amaxi_s, j == 0,
+                                   hsi_out, stage_i, sem2)
+
+                if seed:
+                    # the seed sweep's item direction is discarded
+                    # (the item side stays E_i — models/EGCF.py:67-72)
+                    @pl.when((i == ni - 1) & (k >= S))
+                    def _chunk_i_act():
+                        _ci()
+                else:
+                    @pl.when(i == ni - 1)
+                    def _chunk_i_act():
+                        _ci()
+            else:  # bwd with activation
+                @pl.when(j == nj - 1)
+                def _chunk_u_bact():
+                    if seed:
+                        # the final seed-bwd sweep's user direction is
+                        # identically zero (the seed consumed a zero
+                        # user input): zero it for the emit
+                        @pl.when(k == last_k)
+                        def _():
+                            yu_s[:, pl.ds(i * tu, tu)] = jnp.zeros(
+                                (d, tu), jnp.float32)
+
+                        @pl.when(k < last_k)
+                        def _():
+                            _chunk_bwd_act(pl.ds(i * tu, tu), yu_s, cu_s,
+                                           vpost_u, vpre_u, si_s, amaxu_s,
+                                           i == 0, hsu_in, stage_u, sem2,
+                                           True)
+                    else:
+                        _chunk_bwd_act(pl.ds(i * tu, tu), yu_s, cu_s,
+                                       vpost_u, vpre_u, si_s, amaxu_s,
+                                       i == 0, hsu_in, stage_u, sem2, True)
+
+                @pl.when(i == ni - 1)
+                def _chunk_i_bact():
+                    _chunk_bwd_act(pl.ds(j * ti, ti), yi_s, ci_s, vpost_i,
+                                   vpre_i, su_s, amaxi_s, j == 0,
+                                   hsi_in, stage_i, sem2, False)
 
         @pl.when((i == ni - 1) & (j == nj - 1))
         def _sweep_end():
@@ -328,9 +521,18 @@ def _make_chain_kernel(num_layers: int, tu: int, ti: int, quant: str,
                     su_s[...] = jnp.where(
                         amaxu_s[...] > 0.0, amaxu_s[...] / 127.0, 1.0
                     ).astype(jnp.float32)
-                    si_s[...] = jnp.where(
-                        amaxi_s[...] > 0.0, amaxi_s[...] / 127.0, 1.0
-                    ).astype(jnp.float32)
+                    if seed and mode == "fwd":
+                        # the seed sweep leaves the item quantization
+                        # untouched (reused by counted layer 1)
+                        @pl.when(k >= S)
+                        def _():
+                            si_s[...] = jnp.where(
+                                amaxi_s[...] > 0.0, amaxi_s[...] / 127.0, 1.0
+                            ).astype(jnp.float32)
+                    else:
+                        si_s[...] = jnp.where(
+                            amaxi_s[...] > 0.0, amaxi_s[...] / 127.0, 1.0
+                        ).astype(jnp.float32)
 
             @pl.when(k == last_k)
             def _emit():
@@ -345,63 +547,89 @@ def _make_chain_kernel(num_layers: int, tu: int, ti: int, quant: str,
 
 def _chain_call(m, u_pad, i_pad, num_layers, quant, mode, include_layer0,
                 q0u, q0i, s0u, s0i, pre_u, pre_i, post_u, post_i,
-                cinit_u, cinit_i, interpret, debug_level: int = 0):
+                cinit_u, cinit_i, interpret, debug_level: int = 0,
+                activation: str | None = None, seed: bool = False,
+                hs=None):
     d = q0u.shape[0]
     ti = fusedmm.PACK_TILE if quant == "int4" else fusedmm.TI
     m_cols = ti // 2 if quant == "int4" else ti
     tu = fusedmm.pick_row_tile(u_pad, default=_ROW_TILE_DEFAULT)
     assert tu is not None and i_pad % ti == 0
     kernel = _make_chain_kernel(num_layers, tu, ti, quant, mode,
-                                include_layer0, debug_level)
-    grid = (num_layers, u_pad // tu, i_pad // ti)
+                                include_layer0, debug_level,
+                                activation=activation, seed=seed)
+    n_sweeps = num_layers + (1 if seed else 0)
+    grid = (n_sweeps, u_pad // tu, i_pad // ti)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
-    return pl.pallas_call(
+    in_specs = [
+        pl.BlockSpec((tu, m_cols), lambda k, i, j: (i, j),
+                     memory_space=pltpu.VMEM),
+        any_spec, any_spec,  # q0u, q0i
+        pl.BlockSpec((d, 1), lambda k, i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, 1), lambda k, i, j: (0, 0), memory_space=pltpu.VMEM),
+        any_spec, any_spec, any_spec, any_spec,  # pre/post vectors
+        any_spec, any_spec,  # cinit
+    ]
+    args = [m, q0u, q0i, s0u, s0i, pre_u, pre_i, post_u, post_i,
+            cinit_u, cinit_i]
+    if activation and mode == "bwd":
+        in_specs += [any_spec, any_spec]  # forward h streams
+        args += [hs[0], hs[1]]
+    out_specs = [any_spec, any_spec]
+    out_shape = [
+        jax.ShapeDtypeStruct((d, u_pad), jnp.float32),
+        jax.ShapeDtypeStruct((d, i_pad), jnp.float32),
+    ]
+    if activation and mode == "fwd":
+        out_specs += [any_spec, any_spec]  # per-layer h streams
+        out_shape += [
+            jax.ShapeDtypeStruct((n_sweeps, d, u_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_sweeps, d, i_pad), jnp.float32),
+        ]
+    scratch = [
+        pltpu.VMEM((d, u_pad), jnp.int8),   # qu_s
+        pltpu.VMEM((d, i_pad), jnp.int8),   # qi_s
+        pltpu.VMEM((d, 1), jnp.float32),    # su_s
+        pltpu.VMEM((d, 1), jnp.float32),    # si_s
+        pltpu.VMEM((d, 1), jnp.float32),    # amaxu_s
+        pltpu.VMEM((d, 1), jnp.float32),    # amaxi_s
+        pltpu.VMEM((d, u_pad), jnp.float32),  # yu_s
+        pltpu.VMEM((d, i_pad), jnp.float32),  # yi_s
+        pltpu.VMEM((d, u_pad), jnp.float32),  # cu_s
+        pltpu.VMEM((d, i_pad), jnp.float32),  # ci_s
+        pltpu.VMEM((1, u_pad), jnp.float32),  # vpre_u
+        pltpu.VMEM((1, i_pad), jnp.float32),  # vpre_i
+        pltpu.VMEM((1, u_pad), jnp.float32),  # vpost_u
+        pltpu.VMEM((1, i_pad), jnp.float32),  # vpost_i
+        pltpu.SemaphoreType.DMA,
+    ]
+    if activation:
+        scratch += [
+            pltpu.VMEM((d, tu), jnp.float32),  # stage_u
+            pltpu.VMEM((d, ti), jnp.float32),  # stage_i
+            pltpu.SemaphoreType.DMA,           # sem2 (stage transfers)
+        ]
+    out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((tu, m_cols), lambda k, i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-            any_spec, any_spec,  # q0u, q0i
-            pl.BlockSpec((d, 1), lambda k, i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, 1), lambda k, i, j: (0, 0), memory_space=pltpu.VMEM),
-            any_spec, any_spec, any_spec, any_spec,  # pre/post vectors
-            any_spec, any_spec,  # cinit
-        ],
-        out_specs=(any_spec, any_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((d, u_pad), jnp.float32),
-            jax.ShapeDtypeStruct((d, i_pad), jnp.float32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((d, u_pad), jnp.int8),   # qu_s
-            pltpu.VMEM((d, i_pad), jnp.int8),   # qi_s
-            pltpu.VMEM((d, 1), jnp.float32),    # su_s
-            pltpu.VMEM((d, 1), jnp.float32),    # si_s
-            pltpu.VMEM((d, 1), jnp.float32),    # amaxu_s
-            pltpu.VMEM((d, 1), jnp.float32),    # amaxi_s
-            pltpu.VMEM((d, u_pad), jnp.float32),  # yu_s
-            pltpu.VMEM((d, i_pad), jnp.float32),  # yi_s
-            pltpu.VMEM((d, u_pad), jnp.float32),  # cu_s
-            pltpu.VMEM((d, i_pad), jnp.float32),  # ci_s
-            pltpu.VMEM((1, u_pad), jnp.float32),  # vpre_u
-            pltpu.VMEM((1, i_pad), jnp.float32),  # vpre_i
-            pltpu.VMEM((1, u_pad), jnp.float32),  # vpost_u
-            pltpu.VMEM((1, i_pad), jnp.float32),  # vpost_i
-            pltpu.SemaphoreType.DMA,
-        ],
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
             vmem_limit_bytes=_chain_vmem_bytes(u_pad, i_pad, d, quant, tu)
             + 16 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * u_pad * i_pad * d * num_layers,
-            bytes_accessed=u_pad * m.shape[1] * num_layers
+            flops=2 * 2 * u_pad * i_pad * d * n_sweeps,
+            bytes_accessed=u_pad * m.shape[1] * n_sweeps
             + (u_pad + i_pad) * d * 9,
-            transcendentals=0,
+            transcendentals=(u_pad + i_pad) * d * n_sweeps if activation else 0,
         ),
         interpret=interpret,
-    )(m, q0u, q0i, s0u, s0i, pre_u, pre_i, post_u, post_i, cinit_u, cinit_i)
+    )(*args)
+    return out
 
 
 def _prep_vectors(adj, u_pad: int, i_pad: int):
@@ -414,21 +642,37 @@ def _prep_vectors(adj, u_pad: int, i_pad: int):
     return ru, ri, lu, li
 
 
-def _run_chain(adj, xT_u, xT_i, num_layers, include_layer0, mode):
+def _run_chain(adj, xT_u, xT_i, num_layers, include_layer0, mode,
+               activation=None, seed=False, hs=None, h_last=None):
     """Shared fwd/bwd driver: prologue quantize of pre⊙x in XLA (one
-    pass), then the mega-kernel. xT_u/[d, U_pad], xT_i [d, I_pad] is h0
-    (fwd) / the scaled combine cotangent g (bwd)."""
+    pass), then the mega-kernel. xT_u [d, U_pad], xT_i [d, I_pad] is h0
+    (fwd) / the scaled combine cotangent g (bwd).
+
+    Activation chains: the bwd prologue quantizes pre⊙((1-h_K²)⊙g)
+    (h_last = the final layer's saved tanh outputs); the fwd seed
+    prologue quantizes a ZERO user side exactly as _quantize_rows
+    would (q=0, scale=1 — the seed consumes x0_user = 0)."""
     u_pad, i_pad = adj.padded_shape
     ru, ri, lu, li = _prep_vectors(adj, u_pad, i_pad)
     pre_u, pre_i, post_u, post_i = (
         (ru, ri, lu, li) if mode == "fwd" else (lu, li, ru, ri)
     )
-    q0u, s0u = _quantize_rows(pre_u * xT_u)
-    q0i, s0i = _quantize_rows(pre_i * xT_i)
+    d = xT_u.shape[0]
+    zu, zi = xT_u, xT_i
+    if activation and mode == "bwd":
+        hu, hi = h_last
+        zu = (1.0 - hu * hu) * zu
+        zi = (1.0 - hi * hi) * zi
+    if seed and mode == "fwd":
+        q0u = jnp.zeros((d, u_pad), jnp.int8)
+        s0u = jnp.ones((d, 1), jnp.float32)
+    else:
+        q0u, s0u = _quantize_rows(pre_u * zu)
+    q0i, s0i = _quantize_rows(pre_i * zi)
     return _chain_call(
         adj.m8, u_pad, i_pad, num_layers, adj.quant, mode, include_layer0,
         q0u, q0i, s0u, s0i, pre_u, pre_i, post_u, post_i,
-        xT_u, xT_i, adj.interpret,
+        xT_u, xT_i, adj.interpret, activation=activation, seed=seed, hs=hs,
     )
 
 
@@ -473,14 +717,64 @@ def _chain_bwd(num_layers, include_layer0, reduce, res, gT):
 _chain_resident_T.defvjp(_chain_fwd, _chain_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _chain_resident_act_T(adj, embT, num_layers, reduce, seed):
+    """tanh-activation chain (optional EGCF seed), [d, nu+ni] layout.
+    include_layer0 is False by construction (asserted in the kernel)."""
+    return _chain_act_fwd(adj, embT, num_layers, reduce, seed)[0]
+
+
+def _chain_act_fwd(adj, embT, num_layers, reduce, seed):
+    nu, ni = adj.num_users, adj.num_items
+    u_pad, i_pad = adj.padded_shape
+    xu = jnp.pad(embT[:, :nu], ((0, 0), (0, u_pad - nu)))
+    xi = jnp.pad(embT[:, nu:], ((0, 0), (0, i_pad - ni)))
+    cu, ci, hs_u, hs_i = _run_chain(adj, xu, xi, num_layers, False, "fwd",
+                                    activation="tanh", seed=seed)
+    if reduce == "mean":
+        n = jnp.float32(num_layers)
+        cu, ci = cu / n, ci / n
+    out = jnp.concatenate([cu[:, :nu], ci[:, :ni]], axis=1)
+    return out, (adj, hs_u, hs_i)
+
+
+def _chain_act_bwd(num_layers, reduce, seed, res, gT):
+    adj, hs_u, hs_i = res
+    nu, ni = adj.num_users, adj.num_items
+    u_pad, i_pad = adj.padded_shape
+    if reduce == "mean":
+        gT = gT / jnp.float32(num_layers)
+    gu = jnp.pad(gT[:, :nu], ((0, 0), (0, u_pad - nu)))
+    gi = jnp.pad(gT[:, nu:], ((0, 0), (0, i_pad - ni)))
+    last = num_layers - 1 + (1 if seed else 0)  # fwd slice of layer K
+    Gu, Gi = _run_chain(adj, gu, gi, num_layers, False, "bwd",
+                        activation="tanh", seed=seed,
+                        hs=(hs_u, hs_i), h_last=(hs_u[last], hs_i[last]))
+    dembT = jnp.concatenate([Gu[:, :nu], Gi[:, :ni]], axis=1)
+    return (None, dembT)
+
+
+_chain_resident_act_T.defvjp(_chain_act_fwd, _chain_act_bwd)
+
+
 def fused_chain_resident(adj, emb0: jnp.ndarray, num_layers: int,
                          include_layer0: bool = True,
-                         reduce: str = "mean") -> jnp.ndarray:
+                         reduce: str = "mean", activation=None,
+                         seed_users_from_items: bool = False) -> jnp.ndarray:
     """Drop-in twin of propagate.fused_chain_t for reduce modes —
     whole chain in one kernel launch, VMEM-resident state, HBM traffic
-    = K adjacency reads. Outputs and gradients agree with the
-    per-sweep chain to compiler-FMA ulps (module docstring;
-    tests/test_chainmm.py)."""
+    = K adjacency reads (+ the per-layer tanh stream for activation
+    chains). Outputs and gradients agree with the per-sweep chain to
+    compiler-FMA ulps / quantization noise (module docstring;
+    tests/test_chainmm.py). activation: None or jnp.tanh (EGCF);
+    seed_users_from_items: EGCF parallel-mode seeding
+    (models/EGCF.py:67-72) — requires include_layer0=False."""
     embT = emb0.astype(jnp.float32).T
-    outT = _chain_resident_T(adj, embT, num_layers, include_layer0, reduce)
+    if activation is not None or seed_users_from_items:
+        assert not include_layer0, "activation chains exclude layer 0"
+        outT = _chain_resident_act_T(adj, embT, num_layers, reduce,
+                                     seed_users_from_items)
+    else:
+        outT = _chain_resident_T(adj, embT, num_layers, include_layer0,
+                                 reduce)
     return outT.T.astype(emb0.dtype)

@@ -146,3 +146,70 @@ def test_resident_multiblock_grid(quant, rng):
     g_got = jax.grad(lambda x: jnp.sum(
         chainmm.fused_chain_resident(adj, x, 3, True, "mean") ** 2))(x)
     npt.assert_allclose(np.asarray(g_got), np.asarray(g_ref), **NOISE)
+
+
+@pytest.mark.parametrize("seed_mode", [False, True])
+def test_resident_tanh_chain_matches_chain_t(tiny_dataset, rng, seed_mode):
+    """tanh-activation resident chain (EGCF family, optional parallel-
+    mode seeding — reference models/EGCF.py:67-84) vs fused_chain_t,
+    forward and gradients, at the quantization noise floor."""
+    adj = _adj(tiny_dataset, "int4")
+    assert chainmm.supports_chain_resident(
+        adj, 8, 2, "sum", jnp.tanh, include_layer0=False, seed=seed_mode)
+    nu = tiny_dataset.num_users
+    x = _x(tiny_dataset, rng)
+    if seed_mode:
+        x = x.at[:nu].set(0.0)  # EGCF x0: zero user side
+
+    def ref_fn(x):
+        return prop.fused_chain_t(adj, x, 2, include_layer0=False,
+                                  reduce="sum", activation=jnp.tanh,
+                                  seed_users_from_items=seed_mode)
+
+    def got_fn(x):
+        return chainmm.fused_chain_resident(adj, x, 2, include_layer0=False,
+                                            reduce="sum", activation=jnp.tanh,
+                                            seed_users_from_items=seed_mode)
+
+    ref = ref_fn(x)
+    got = got_fn(x)
+    npt.assert_allclose(np.asarray(got), np.asarray(ref), **NOISE)
+
+    g_ref = jax.grad(lambda x: jnp.sum(ref_fn(x) ** 2))(x)
+    g_got = jax.grad(lambda x: jnp.sum(got_fn(x) ** 2))(x)
+    if seed_mode:
+        # the zero user input has no gradient path (the seed discards
+        # its item-direction product): d(x0_user) = 0 exactly
+        assert bool(jnp.all(g_got[:nu] == 0.0))
+        npt.assert_allclose(np.asarray(g_got[nu:]), np.asarray(g_ref[nu:]),
+                            **NOISE)
+    else:
+        npt.assert_allclose(np.asarray(g_got), np.asarray(g_ref), **NOISE)
+
+
+def test_resident_tanh_multiblock(rng):
+    """Multi-block grid coverage for the tanh/seed paths (per-block h
+    streaming, staged tanh-derivative fetches, seed-bwd sweep)."""
+    from idgrec_tpu.data.dataset import make_synthetic_dataset
+
+    data = make_synthetic_dataset(5000, 1400, 30_000, 2_000, seed=5)
+    adj = build_adjacency(data, "sym", "fused", compute_dtype="int8",
+                          emb_size=8)
+    nu = data.num_users
+    x = _x(data, rng).at[:nu].set(0.0)
+
+    def ref_fn(x):
+        return prop.fused_chain_t(adj, x, 3, include_layer0=False,
+                                  reduce="sum", activation=jnp.tanh,
+                                  seed_users_from_items=True)
+
+    def got_fn(x):
+        return chainmm.fused_chain_resident(adj, x, 3, include_layer0=False,
+                                            reduce="sum", activation=jnp.tanh,
+                                            seed_users_from_items=True)
+
+    npt.assert_allclose(np.asarray(got_fn(x)), np.asarray(ref_fn(x)), **NOISE)
+    g_ref = jax.grad(lambda x: jnp.sum(ref_fn(x) ** 2))(x)
+    g_got = jax.grad(lambda x: jnp.sum(got_fn(x) ** 2))(x)
+    npt.assert_allclose(np.asarray(g_got[nu:]), np.asarray(g_ref[nu:]),
+                        **NOISE)
