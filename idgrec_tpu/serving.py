@@ -46,8 +46,11 @@ class Recommender:
         self.model = model
         self.data = data
         self.filter_seen = filter_seen
-        # 'approx' = TPU approx_max_k (~4x faster ranking sweep at 0.95
-        # per-element recall target; standard for production retrieval)
+        # 'approx' = TPU approx_max_k (measured round 5: 1.08x faster
+        # full-catalog sweep at the shipped 0.99 recall target with
+        # metric deltas < 1e-3 — docs/evidence/approx_topk.json; the
+        # scoring matmul now dominates the sweep, so approx ranking
+        # buys little at this catalog size)
         self.topk_mode = topk_mode
         # mesh: serve with the item axis sharded over 'model' — the
         # [B, num_items] score matrix is column-sharded and ranking

@@ -8,6 +8,8 @@ The committed cost table bounds it as step(7.4-7.7) - chain fwd+bwd
 by timing three nested jitted functions on the shipping configuration.
 """
 
+import argparse
+import json
 import os
 import sys
 
@@ -130,4 +132,17 @@ results["grad(loss)"] = chain_time(
     "grad(loss)", grad_loss, u0, i0, statics=(consts,))
 results["grad+adam"] = chain_time(
     "grad+adam", full_step, u0, i0, statics=(consts, opt_state))
-print({k: round(v * 1e3, 3) for k, v in results.items()})
+table = {k: round(v * 1e3, 3) for k, v in results.items()}
+print(table)
+ap = argparse.ArgumentParser()
+ap.add_argument("--out", default=None)
+args, _ = ap.parse_known_args()
+if args.out:
+    with open(args.out, "w") as f:
+        json.dump({
+            "script": "scripts/profile_step_other.py",
+            "units": "ms per step component (LightGCN int4, shipping "
+                     "configuration, real v5e)",
+            "table": table,
+        }, f, indent=1)
+    print(f"wrote {args.out}")
