@@ -52,7 +52,11 @@ MAPPING: dict[str, tuple[list[str], str]] = {
     ),
     "docs/evidence/zoo_int4.json": (
         ["idgrec_tpu/ops", "idgrec_tpu/models", "scripts/model_bench.py"],
-        "python scripts/model_bench.py --all --compute-dtype int4",
+        "python scripts/model_bench.py --compute-dtype int4",
+    ),
+    "docs/evidence/zoo_bf16.json": (
+        ["idgrec_tpu/ops", "idgrec_tpu/models", "scripts/model_bench.py"],
+        "python scripts/model_bench.py --compute-dtype bfloat16",
     ),
     "docs/evidence/quant_parity.json": (
         ["idgrec_tpu/ops/propagate.py", "idgrec_tpu/ops/fusedmm.py",

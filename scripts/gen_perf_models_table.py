@@ -41,15 +41,17 @@ def main() -> None:
     s = open(bf16_path).read()
     bf16 = {r["model"]: r for r in json.loads(s[s.rfind("\n[\n"):])}
     zoo = json.load(open("docs/evidence/zoo_int4.json"))["results"]
-    rows = sorted(zoo.items(), key=lambda kv: -kv[1]["pairs_per_s"])
+    rows = sorted(zoo.items(),
+                  key=lambda kv: -(kv[1]["pairs_per_s"] or 0))
     print("| Model | bf16 ms/step | bf16 pairs/s | int4 ms/step | "
           "int4 pairs/s | notes |")
     print("|---|---|---|---|---|---|")
+    fmt = lambda v: f"{v:,}" if v else "—"
     for name, r in rows:
         b = bf16.get(name, {})
         print(f"| {name} | {b.get('ms_per_step', '—')} | "
-              f"{b.get('pairs_per_s', 0):,} | {r['ms_per_step']} | "
-              f"**{r['pairs_per_s']:,}** | {NOTES.get(name, '')} |")
+              f"{fmt(b.get('pairs_per_s'))} | {r['ms_per_step']} | "
+              f"**{fmt(r['pairs_per_s'])}** | {NOTES.get(name, '')} |")
 
 
 if __name__ == "__main__":
