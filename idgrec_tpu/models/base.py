@@ -317,3 +317,18 @@ def lightgcn_layer_outputs(
         h = graph.matmul(h)
         outs.append(h)
     return outs
+
+
+def batch_final_embeddings(user_all, item_all, batch):
+    """(user_all[u], item_all[pos], item_all[neg]) with the backward's
+    batch-cotangent row scatters on the Pallas scatter kernel when the
+    tables fit its VMEM residency budget (ops/scatter.py — measured
+    ~4.8x XLA's row scatter-add on v5e); plain indexing otherwise."""
+    from idgrec_tpu.ops import scatter as _scatter
+
+    if _scatter.supports_fast_scatter(
+            user_all.shape[0] + item_all.shape[0], user_all.shape[1]):
+        return _scatter.gather_batch_embeddings(
+            user_all, item_all, batch["user"], batch["pos"], batch["neg"])
+    return (user_all[batch["user"]], item_all[batch["pos"]],
+            item_all[batch["neg"]])

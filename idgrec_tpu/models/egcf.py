@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from idgrec_tpu.ops.propagate import build_adjacency, build_rect_adjacency
 from idgrec_tpu.models.base import RecModel, split_user_item, xavier_uniform
+from idgrec_tpu.models.base import batch_final_embeddings as model_base_batch_final
 from idgrec_tpu.models.registry import register
 from idgrec_tpu.ops import losses
 
@@ -100,9 +101,7 @@ class EGCF(RecModel):
 
     def loss_terms(self, params, state, ctx, batch, rng, epoch):
         user_all, item_all = self.propagate(params)
-        user_e = user_all[batch["user"]]
-        pos_e = item_all[batch["pos"]]
-        neg_e = item_all[batch["neg"]]
+        user_e, pos_e, neg_e = model_base_batch_final(user_all, item_all, batch)
 
 
         bpr = losses.bpr_loss(user_e, pos_e, neg_e)

@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from idgrec_tpu.models.base import RecModel, concat_user_item, xavier_uniform
+from idgrec_tpu.models.base import batch_final_embeddings as model_base_batch_final
 from idgrec_tpu.models.registry import register
 from idgrec_tpu.ops import losses
 from idgrec_tpu.ops.propagate import build_adjacency
@@ -82,9 +83,7 @@ class HCCF(RecModel):
         final, gnn_list, hyper_list = self.aggregate(params, rng, training=True)
         user_all, item_all = final[: self.num_users], final[self.num_users :]
 
-        user_e = user_all[batch["user"]]
-        pos_e = item_all[batch["pos"]]
-        neg_e = item_all[batch["neg"]]
+        user_e, pos_e, neg_e = model_base_batch_final(user_all, item_all, batch)
         bpr = losses.bpr_loss(user_e, pos_e, neg_e)
         reg = self.reg_lambda * (losses.reg_loss_indexed(
             params["user_emb"], params["item_emb"],

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from idgrec_tpu.models.base import (
+    batch_final_embeddings as model_base_batch_final,
     RecModel,
     concat_user_item,
     dropout,
@@ -101,9 +102,7 @@ class IMPGCN(RecModel):
 
     def loss_terms(self, params, state, ctx, batch, rng, epoch):
         user_all, item_all = self.aggregate(params, rng, training=True)
-        user_e = user_all[batch["user"]]
-        pos_e = item_all[batch["pos"]]
-        neg_e = item_all[batch["neg"]]
+        user_e, pos_e, neg_e = model_base_batch_final(user_all, item_all, batch)
         bpr = losses.bpr_loss(user_e, pos_e, neg_e)
         reg = self.reg_lambda * losses.reg_loss_indexed(
             params["user_emb"], params["item_emb"],

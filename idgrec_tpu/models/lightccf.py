@@ -8,6 +8,7 @@ Parity with reference models/LightCCF.py: MF/LightGCN encoder
 from __future__ import annotations
 
 from idgrec_tpu.models.base import RecModel
+from idgrec_tpu.models.base import batch_final_embeddings as model_base_batch_final
 from idgrec_tpu.models.encoders import EncoderSwitchMixin
 from idgrec_tpu.models.registry import register
 from idgrec_tpu.ops import losses
@@ -26,9 +27,7 @@ class LightCCF(EncoderSwitchMixin, RecModel):
 
     def loss_terms(self, params, state, ctx, batch, rng, epoch):
         user_all, item_all = self.encode(params)
-        user_e = user_all[batch["user"]]
-        pos_e = item_all[batch["pos"]]
-        neg_e = item_all[batch["neg"]]
+        user_e, pos_e, neg_e = model_base_batch_final(user_all, item_all, batch)
 
 
         bpr = losses.bpr_loss(user_e, pos_e, neg_e)

@@ -10,6 +10,7 @@ second channel (LightCSCF.py:93-104). Note the reference reads
 from __future__ import annotations
 
 from idgrec_tpu.models.base import RecModel
+from idgrec_tpu.models.base import batch_final_embeddings as model_base_batch_final
 from idgrec_tpu.models.encoders import EncoderSwitchMixin
 from idgrec_tpu.models.registry import register
 from idgrec_tpu.ops import losses
@@ -30,9 +31,7 @@ class LightCSCF(EncoderSwitchMixin, RecModel):
 
     def loss_terms(self, params, state, ctx, batch, rng, epoch):
         user_all, item_all = self.encode(params)
-        user_e = user_all[batch["user"]]
-        pos_e = item_all[batch["pos"]]
-        neg_e = item_all[batch["neg"]]
+        user_e, pos_e, neg_e = model_base_batch_final(user_all, item_all, batch)
 
 
         reg = self.lambda_reg * losses.reg_loss_indexed(

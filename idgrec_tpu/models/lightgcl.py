@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from idgrec_tpu.models.base import RecModel
+from idgrec_tpu.models.base import batch_final_embeddings as model_base_batch_final
 from idgrec_tpu.models.registry import register
 from idgrec_tpu.ops import losses
 from idgrec_tpu.ops.losses import _matmul
@@ -65,9 +66,7 @@ class LightGCL(RecModel):
     def loss_terms(self, params, state, ctx, batch, rng, epoch):
         user_all, item_all, g_user, g_item = self.aggregate(params)
 
-        user_e = user_all[batch["user"]]
-        pos_e = item_all[batch["pos"]]
-        neg_e = item_all[batch["neg"]]
+        user_e, pos_e, neg_e = model_base_batch_final(user_all, item_all, batch)
 
         bpr = losses.bpr_loss(user_e, pos_e, neg_e)
         reg = self.reg_lambda * losses.reg_loss_indexed(

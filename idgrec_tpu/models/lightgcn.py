@@ -66,6 +66,15 @@ class LightGCN(RecModel):
             pos_e, neg_e = jnp.split(i_final, 2, axis=0)
             return u_final, pos_e, neg_e
         user_all, item_all = self.propagate(params)
+        from idgrec_tpu.ops import scatter as _scatter
+
+        if _scatter.supports_fast_scatter(self.num_users + self.num_items,
+                                          user_all.shape[1]):
+            # backward's batch-cotangent row scatters run the Pallas
+            # kernel (~4.8x XLA's scatter — ops/scatter.py)
+            return _scatter.gather_batch_embeddings(
+                user_all, item_all, batch["user"], batch["pos"],
+                batch["neg"])
         return (user_all[batch["user"]], item_all[batch["pos"]],
                 item_all[batch["neg"]])
 

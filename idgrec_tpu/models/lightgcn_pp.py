@@ -13,6 +13,7 @@ import jax.numpy as jnp
 
 from idgrec_tpu.ops.propagate import build_adjacency
 from idgrec_tpu.models.base import RecModel, concat_user_item, split_user_item
+from idgrec_tpu.models.base import batch_final_embeddings as model_base_batch_final
 from idgrec_tpu.models.registry import register
 from idgrec_tpu.ops import losses
 
@@ -48,9 +49,7 @@ class LightGCNPP(RecModel):
 
     def loss_terms(self, params, state, ctx, batch, rng, epoch):
         user_all, item_all = self.propagate(params)
-        user_e = user_all[batch["user"]]
-        pos_e = item_all[batch["pos"]]
-        neg_e = item_all[batch["neg"]]
+        user_e, pos_e, neg_e = model_base_batch_final(user_all, item_all, batch)
         bpr = losses.bpr_loss(user_e, pos_e, neg_e)
         reg = self.reg_lambda * losses.reg_loss_indexed(
             params["user_emb"], params["item_emb"],

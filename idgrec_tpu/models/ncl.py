@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from idgrec_tpu.models.base import (
+    batch_final_embeddings as model_base_batch_final,
     RecModel,
     concat_user_item,
     lightgcn_layer_outputs,
@@ -80,9 +81,7 @@ class NCL(RecModel):
         final = jnp.mean(jnp.stack(layer_outs, axis=0), axis=0)
         user_all, item_all = split_user_item(final, self.num_users)
 
-        user_e = user_all[batch["user"]]
-        pos_e = item_all[batch["pos"]]
-        neg_e = item_all[batch["neg"]]
+        user_e, pos_e, neg_e = model_base_batch_final(user_all, item_all, batch)
 
         bpr = losses.bpr_loss(user_e, pos_e, neg_e)
         reg = self.reg_lambda * losses.reg_loss_indexed(

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from idgrec_tpu.models.base import (
+    batch_final_embeddings as model_base_batch_final,
     RecModel,
     concat_user_item,
     dropout,
@@ -132,9 +133,7 @@ class NGCF(_WeightedGCNBase):
 
     def loss_terms(self, params, state, ctx, batch, rng, epoch):
         user_all, item_all = self.aggregate(params, rng, training=True)
-        user_e = user_all[batch["user"]]
-        pos_e = item_all[batch["pos"]]
-        neg_e = item_all[batch["neg"]]
+        user_e, pos_e, neg_e = model_base_batch_final(user_all, item_all, batch)
         bpr = losses.bpr_loss(user_e, pos_e, neg_e)
         reg = self.reg_lambda * losses.reg_loss_counted(
             params["item_emb"], batch["pos"], batch["neg"])
@@ -162,9 +161,7 @@ class GCMC(_WeightedGCNBase):
 
     def loss_terms(self, params, state, ctx, batch, rng, epoch):
         user_all, item_all = self.aggregate(params, rng, training=True)
-        user_e = user_all[batch["user"]]
-        pos_e = item_all[batch["pos"]]
-        neg_e = item_all[batch["neg"]]
+        user_e, pos_e, neg_e = model_base_batch_final(user_all, item_all, batch)
         bpr = losses.bpr_loss(user_e, pos_e, neg_e)
         reg = self.reg_lambda * losses.reg_loss_indexed(
             params["user_emb"], params["item_emb"],
@@ -191,9 +188,7 @@ class GCCF(_WeightedGCNBase):
 
     def loss_terms(self, params, state, ctx, batch, rng, epoch):
         user_all, item_all = self.aggregate(params, rng, training=True)
-        user_e = user_all[batch["user"]]
-        pos_e = item_all[batch["pos"]]
-        neg_e = item_all[batch["neg"]]
+        user_e, pos_e, neg_e = model_base_batch_final(user_all, item_all, batch)
         bpr = losses.bpr_loss(user_e, pos_e, neg_e)
         reg = self.reg_lambda * losses.reg_loss_counted(
             params["item_emb"], batch["pos"], batch["neg"])

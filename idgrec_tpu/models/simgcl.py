@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from idgrec_tpu.ops.propagate import build_adjacency
 from idgrec_tpu.models.base import RecModel, concat_user_item, split_user_item
+from idgrec_tpu.models.base import batch_final_embeddings as model_base_batch_final
 from idgrec_tpu.models.registry import register
 from idgrec_tpu.ops import losses
 from idgrec_tpu.ops.losses import _INFONCE_EPS, _f32, _matmul, _normalize
@@ -128,9 +129,7 @@ class SimGCL(RecModel):
         u1, i1 = split_user_item(view1, self.num_users)
         u2, i2 = split_user_item(view2, self.num_users)
 
-        user_e = user_all[batch["user"]]
-        pos_e = item_all[batch["pos"]]
-        neg_e = item_all[batch["neg"]]
+        user_e, pos_e, neg_e = model_base_batch_final(user_all, item_all, batch)
 
         bpr = losses.bpr_loss(user_e, pos_e, neg_e)
         reg = self.reg_lambda * losses.reg_loss_indexed(

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 
 from idgrec_tpu.ops.propagate import build_adjacency
 from idgrec_tpu.models.base import RecModel, concat_user_item, split_user_item
+from idgrec_tpu.models.base import batch_final_embeddings as model_base_batch_final
 from idgrec_tpu.models.registry import register
 from idgrec_tpu.models.simgcl import first_occurrence_mask, masked_infonce_loss
 from idgrec_tpu.ops import losses
@@ -56,9 +57,7 @@ class XSimGCL(RecModel):
         user_all, item_all = split_user_item(final, self.num_users)
         user_cl, item_cl = split_user_item(cl, self.num_users)
 
-        user_e = user_all[batch["user"]]
-        pos_e = item_all[batch["pos"]]
-        neg_e = item_all[batch["neg"]]
+        user_e, pos_e, neg_e = model_base_batch_final(user_all, item_all, batch)
 
         bpr = losses.bpr_loss(user_e, pos_e, neg_e)
         reg = self.reg_lambda * losses.reg_loss_indexed(
