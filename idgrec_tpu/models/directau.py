@@ -10,6 +10,7 @@ the ``interval`` key and crashes in the universal trainer
 from __future__ import annotations
 
 from idgrec_tpu.models.base import RecModel
+from idgrec_tpu.models.base import batch_user_pos_embeddings as model_base_batch_up
 from idgrec_tpu.models.encoders import EncoderSwitchMixin
 from idgrec_tpu.models.registry import register
 from idgrec_tpu.ops import losses
@@ -27,8 +28,7 @@ class DirectAU(EncoderSwitchMixin, RecModel):
 
     def loss_terms(self, params, state, ctx, batch, rng, epoch):
         user_all, item_all = self.encode(params)
-        user_e = user_all[batch["user"]]
-        item_e = item_all[batch["pos"]]
+        user_e, item_e = model_base_batch_up(user_all, item_all, batch)
 
         align = losses.align_loss(user_e, item_e)
         uniform = self.gamma * (

@@ -28,6 +28,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from idgrec_tpu.models.base import RecModel, concat_user_item, split_user_item
+from idgrec_tpu.models.base import batch_user_pos_embeddings as model_base_batch_up
 from idgrec_tpu.models.registry import register
 from idgrec_tpu.ops import losses
 from idgrec_tpu.ops.ode import odeint_euler
@@ -68,8 +69,7 @@ class LightGODE(RecModel):
 
     def loss_terms(self, params, state, ctx, batch, rng, epoch):
         user_all, item_all = self._embeddings(params, training=True)
-        user_e = user_all[batch["user"]]
-        item_e = item_all[batch["pos"]]
+        user_e, item_e = model_base_batch_up(user_all, item_all, batch)
 
         align = losses.align_loss(user_e, item_e)
         uniform = self.gamma * (

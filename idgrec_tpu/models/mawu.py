@@ -12,6 +12,7 @@ from __future__ import annotations
 import jax
 
 from idgrec_tpu.models.base import RecModel, xavier_uniform
+from idgrec_tpu.models.base import batch_user_pos_embeddings as model_base_batch_up
 from idgrec_tpu.models.encoders import EncoderSwitchMixin
 from idgrec_tpu.models.registry import register
 from idgrec_tpu.ops import losses
@@ -41,8 +42,7 @@ class MAWU(EncoderSwitchMixin, RecModel):
 
     def loss_terms(self, params, state, ctx, batch, rng, epoch):
         user_all, item_all = self.encode(params)
-        user_e = user_all[batch["user"]]
-        item_e = item_all[batch["pos"]]
+        user_e, item_e = model_base_batch_up(user_all, item_all, batch)
 
         margin = params["user_margin"][batch["user"]] + params["item_margin"][batch["pos"]]
         align = losses.margin_alignment_loss(user_e, item_e, margin)

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from idgrec_tpu.models.base import (
+    batch_final_embeddings as model_base_batch_final,
     RecModel,
     concat_user_item,
     lightgcn_propagate,
@@ -60,9 +61,10 @@ class MixRec(RecModel):
         item_beta = jax.random.beta(k_ib, self.alpha, self.beta)
         neg_beta = jax.random.dirichlet(k_dir, jnp.full((b,), self.gamma))  # [B]
 
-        user_e = user_all[batch["user"]].astype(jnp.float32)
-        pos_e = item_all[batch["pos"]].astype(jnp.float32)
-        neg_e = item_all[batch["neg"]].astype(jnp.float32)
+        user_e, pos_e, neg_e = model_base_batch_final(user_all, item_all, batch)
+        user_e = user_e.astype(jnp.float32)
+        pos_e = pos_e.astype(jnp.float32)
+        neg_e = neg_e.astype(jnp.float32)
 
         # collective (Dirichlet) mixing -> one row (MixRec.py:103-107)
         mix_user = jnp.sum(neg_beta[:, None] * user_e, axis=0, keepdims=True)

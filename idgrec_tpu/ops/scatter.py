@@ -120,3 +120,31 @@ def gather_batch_embeddings(user_all, item_all, u, p, n):
     return _make_gbe(user_all.shape[0], item_all.shape[0],
                      str(user_all.dtype), str(item_all.dtype))(
         user_all, item_all, u, p, n)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_gup(nu: int, ni: int, udtype: str, idtype: str):
+    @jax.custom_vjp
+    def gup(user_all, item_all, u, p):
+        return user_all[u], item_all[p]
+
+    def fwd(user_all, item_all, u, p):
+        return gup(user_all, item_all, u, p), (u, p)
+
+    def bwd(res, g):
+        u, p = res
+        gu, gp = g
+        du = scatter_add_rows(u, gu, nu).astype(udtype)
+        di = scatter_add_rows(p, gp, ni).astype(idtype)
+        return du, di, None, None
+
+    gup.defvjp(fwd, bwd)
+    return gup
+
+
+def gather_user_pos(user_all, item_all, u, p):
+    """(user_all[u], item_all[p]) — the 2-gather variant (DirectAU /
+    MAWU / LightGODE pattern) with Pallas scatter backwards."""
+    return _make_gup(user_all.shape[0], item_all.shape[0],
+                     str(user_all.dtype), str(item_all.dtype))(
+        user_all, item_all, u, p)
