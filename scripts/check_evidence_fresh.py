@@ -60,13 +60,15 @@ MAPPING: dict[str, tuple[list[str], str]] = {
     ),
     "docs/evidence/quant_parity.json": (
         ["idgrec_tpu/ops/propagate.py", "idgrec_tpu/ops/fusedmm.py",
-         "idgrec_tpu/ops/chainmm.py", "scripts/quant_parity.py"],
+         "idgrec_tpu/ops/chainmm.py", "idgrec_tpu/ops/scatter.py",
+         "idgrec_tpu/models/lightgcn.py", "scripts/quant_parity.py"],
         "python scripts/quant_parity.py",
     ),
     "docs/evidence/quant_parity_egcf.json": (
         ["idgrec_tpu/ops/propagate.py", "idgrec_tpu/ops/fusedmm.py",
-         "idgrec_tpu/models/egcf.py"],
-        "python scripts/quant_parity.py --model EGCF (see script header)",
+         "idgrec_tpu/ops/chainmm.py", "idgrec_tpu/models/egcf.py"],
+        "python scripts/quant_parity.py --model EGCF --epochs 25 "
+        "--modes bfloat16,int4",
     ),
     "docs/evidence/bench_matrix.json": (
         ["idgrec_tpu/ops", "idgrec_tpu/engine", "bench.py",
@@ -77,6 +79,11 @@ MAPPING: dict[str, tuple[list[str], str]] = {
         ["idgrec_tpu/parallel/topk.py", "idgrec_tpu/engine/evaluator.py",
          "scripts/approx_topk_eval.py"],
         "python scripts/approx_topk_eval.py",
+    ),
+    "docs/evidence/step_other.json": (
+        ["idgrec_tpu/ops", "idgrec_tpu/models/lightgcn.py",
+         "scripts/profile_step_other.py"],
+        "python scripts/profile_step_other.py --out docs/evidence/step_other.json",
     ),
     "docs/evidence/serving.json": (
         ["idgrec_tpu/serving.py", "scripts/serving_bench.py"],
