@@ -327,7 +327,8 @@ def batch_final_embeddings(user_all, item_all, batch):
     from idgrec_tpu.ops import scatter as _scatter
 
     if _scatter.supports_fast_scatter(
-            user_all.shape[0] + item_all.shape[0], user_all.shape[1]):
+            user_all.shape[0] + item_all.shape[0], user_all.shape[1],
+            user_all.dtype):
         return _scatter.gather_batch_embeddings(
             user_all, item_all, batch["user"], batch["pos"], batch["neg"])
     return (user_all[batch["user"]], item_all[batch["pos"]],
@@ -339,7 +340,8 @@ def batch_user_pos_embeddings(user_all, item_all, batch):
     from idgrec_tpu.ops import scatter as _scatter
 
     if _scatter.supports_fast_scatter(
-            user_all.shape[0] + item_all.shape[0], user_all.shape[1]):
+            user_all.shape[0] + item_all.shape[0], user_all.shape[1],
+            user_all.dtype):
         return _scatter.gather_user_pos(user_all, item_all,
                                         batch["user"], batch["pos"])
     return user_all[batch["user"]], item_all[batch["pos"]]

@@ -82,9 +82,21 @@ def scatter_add_rows(idx: jnp.ndarray, vals: jnp.ndarray,
     return out[:n_rows]
 
 
-def supports_fast_scatter(n_rows: int, d: int) -> bool:
-    """Table must fit the VMEM residency budget, and the sharded path
-    keeps XLA's scatter (the loss runs per-shard under a mesh)."""
+def supports_fast_scatter(n_rows: int, d: int, dtype=jnp.float32) -> bool:
+    """Table must fit the VMEM residency budget; the sharded path keeps
+    XLA's scatter (the loss runs per-shard under a mesh); and only
+    f32-propagated tables (the quantized modes) take the kernel — in
+    the bf16 exact mode the conversion measured ~2.5 ms/step SLOWER
+    across the whole zoo (zoo logs 2026-08-20: LightGCN bf16 20.8 →
+    23.1 ms/step) while int4 improved (6.8 → 6.6), so bf16 keeps XLA's
+    scatter. IDGREC_FAST_SCATTER=0 disables (measurement escape
+    hatch)."""
+    import os
+
+    if os.environ.get("IDGREC_FAST_SCATTER", "1") == "0":
+        return False
+    if jnp.dtype(dtype) != jnp.float32:
+        return False
     if _round8(n_rows) * d * 4 > MAX_TABLE_VMEM_BYTES:
         return False
     from idgrec_tpu.parallel import mesh as mesh_lib
