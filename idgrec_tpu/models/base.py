@@ -319,7 +319,8 @@ def lightgcn_layer_outputs(
     return outs
 
 
-def batch_final_embeddings(user_all, item_all, batch):
+def batch_final_embeddings(user_all, item_all, batch,
+                           compute_dtype="bfloat16"):
     """(user_all[u], item_all[pos], item_all[neg]) with the backward's
     batch-cotangent row scatters on the Pallas scatter kernel when the
     tables fit its VMEM residency budget (ops/scatter.py — measured
@@ -328,20 +329,21 @@ def batch_final_embeddings(user_all, item_all, batch):
 
     if _scatter.supports_fast_scatter(
             user_all.shape[0] + item_all.shape[0], user_all.shape[1],
-            user_all.dtype):
+            compute_dtype):
         return _scatter.gather_batch_embeddings(
             user_all, item_all, batch["user"], batch["pos"], batch["neg"])
     return (user_all[batch["user"]], item_all[batch["pos"]],
             item_all[batch["neg"]])
 
 
-def batch_user_pos_embeddings(user_all, item_all, batch):
+def batch_user_pos_embeddings(user_all, item_all, batch,
+                              compute_dtype="bfloat16"):
     """2-gather twin of batch_final_embeddings (align/uniform models)."""
     from idgrec_tpu.ops import scatter as _scatter
 
     if _scatter.supports_fast_scatter(
             user_all.shape[0] + item_all.shape[0], user_all.shape[1],
-            user_all.dtype):
+            compute_dtype):
         return _scatter.gather_user_pos(user_all, item_all,
                                         batch["user"], batch["pos"])
     return user_all[batch["user"]], item_all[batch["pos"]]

@@ -69,7 +69,8 @@ class CGCL(RecModel):
         final = jnp.mean(jnp.stack(layer_outs, axis=0), axis=0)
         user_all, item_all = split_user_item(final, self.num_users)
 
-        user_e, pos_e, neg_e = model_base_batch_final(user_all, item_all, batch)
+        user_e, pos_e, neg_e = model_base_batch_final(
+            user_all, item_all, batch, self.compute_dtype)
 
         bpr = losses.bpr_loss(user_e, pos_e, neg_e)
         reg = self.reg_lambda * losses.reg_loss_indexed(

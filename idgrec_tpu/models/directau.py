@@ -28,7 +28,8 @@ class DirectAU(EncoderSwitchMixin, RecModel):
 
     def loss_terms(self, params, state, ctx, batch, rng, epoch):
         user_all, item_all = self.encode(params)
-        user_e, item_e = model_base_batch_up(user_all, item_all, batch)
+        user_e, item_e = model_base_batch_up(
+            user_all, item_all, batch, self.compute_dtype)
 
         align = losses.align_loss(user_e, item_e)
         uniform = self.gamma * (

@@ -101,7 +101,8 @@ class EGCF(RecModel):
 
     def loss_terms(self, params, state, ctx, batch, rng, epoch):
         user_all, item_all = self.propagate(params)
-        user_e, pos_e, neg_e = model_base_batch_final(user_all, item_all, batch)
+        user_e, pos_e, neg_e = model_base_batch_final(
+            user_all, item_all, batch, self.compute_dtype)
 
 
         bpr = losses.bpr_loss(user_e, pos_e, neg_e)

@@ -83,7 +83,8 @@ class HCCF(RecModel):
         final, gnn_list, hyper_list = self.aggregate(params, rng, training=True)
         user_all, item_all = final[: self.num_users], final[self.num_users :]
 
-        user_e, pos_e, neg_e = model_base_batch_final(user_all, item_all, batch)
+        user_e, pos_e, neg_e = model_base_batch_final(
+            user_all, item_all, batch, self.compute_dtype)
         bpr = losses.bpr_loss(user_e, pos_e, neg_e)
         reg = self.reg_lambda * (losses.reg_loss_indexed(
             params["user_emb"], params["item_emb"],

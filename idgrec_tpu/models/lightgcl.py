@@ -66,7 +66,8 @@ class LightGCL(RecModel):
     def loss_terms(self, params, state, ctx, batch, rng, epoch):
         user_all, item_all, g_user, g_item = self.aggregate(params)
 
-        user_e, pos_e, neg_e = model_base_batch_final(user_all, item_all, batch)
+        user_e, pos_e, neg_e = model_base_batch_final(
+            user_all, item_all, batch, self.compute_dtype)
 
         bpr = losses.bpr_loss(user_e, pos_e, neg_e)
         reg = self.reg_lambda * losses.reg_loss_indexed(

@@ -70,7 +70,7 @@ class LightGCN(RecModel):
 
         if _scatter.supports_fast_scatter(self.num_users + self.num_items,
                                           user_all.shape[1],
-                                          user_all.dtype):
+                                          self.compute_dtype):
             # backward's batch-cotangent row scatters run the Pallas
             # kernel (~4.8x XLA's scatter — ops/scatter.py)
             return _scatter.gather_batch_embeddings(

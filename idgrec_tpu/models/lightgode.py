@@ -69,7 +69,8 @@ class LightGODE(RecModel):
 
     def loss_terms(self, params, state, ctx, batch, rng, epoch):
         user_all, item_all = self._embeddings(params, training=True)
-        user_e, item_e = model_base_batch_up(user_all, item_all, batch)
+        user_e, item_e = model_base_batch_up(
+            user_all, item_all, batch, self.compute_dtype)
 
         align = losses.align_loss(user_e, item_e)
         uniform = self.gamma * (

@@ -42,7 +42,8 @@ class MAWU(EncoderSwitchMixin, RecModel):
 
     def loss_terms(self, params, state, ctx, batch, rng, epoch):
         user_all, item_all = self.encode(params)
-        user_e, item_e = model_base_batch_up(user_all, item_all, batch)
+        user_e, item_e = model_base_batch_up(
+            user_all, item_all, batch, self.compute_dtype)
 
         margin = params["user_margin"][batch["user"]] + params["item_margin"][batch["pos"]]
         align = losses.margin_alignment_loss(user_e, item_e, margin)

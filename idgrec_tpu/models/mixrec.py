@@ -61,7 +61,8 @@ class MixRec(RecModel):
         item_beta = jax.random.beta(k_ib, self.alpha, self.beta)
         neg_beta = jax.random.dirichlet(k_dir, jnp.full((b,), self.gamma))  # [B]
 
-        user_e, pos_e, neg_e = model_base_batch_final(user_all, item_all, batch)
+        user_e, pos_e, neg_e = model_base_batch_final(
+            user_all, item_all, batch, self.compute_dtype)
         user_e = user_e.astype(jnp.float32)
         pos_e = pos_e.astype(jnp.float32)
         neg_e = neg_e.astype(jnp.float32)

@@ -133,7 +133,8 @@ class NGCF(_WeightedGCNBase):
 
     def loss_terms(self, params, state, ctx, batch, rng, epoch):
         user_all, item_all = self.aggregate(params, rng, training=True)
-        user_e, pos_e, neg_e = model_base_batch_final(user_all, item_all, batch)
+        user_e, pos_e, neg_e = model_base_batch_final(
+            user_all, item_all, batch, self.compute_dtype)
         bpr = losses.bpr_loss(user_e, pos_e, neg_e)
         reg = self.reg_lambda * losses.reg_loss_counted(
             params["item_emb"], batch["pos"], batch["neg"])
@@ -161,7 +162,8 @@ class GCMC(_WeightedGCNBase):
 
     def loss_terms(self, params, state, ctx, batch, rng, epoch):
         user_all, item_all = self.aggregate(params, rng, training=True)
-        user_e, pos_e, neg_e = model_base_batch_final(user_all, item_all, batch)
+        user_e, pos_e, neg_e = model_base_batch_final(
+            user_all, item_all, batch, self.compute_dtype)
         bpr = losses.bpr_loss(user_e, pos_e, neg_e)
         reg = self.reg_lambda * losses.reg_loss_indexed(
             params["user_emb"], params["item_emb"],
@@ -188,7 +190,8 @@ class GCCF(_WeightedGCNBase):
 
     def loss_terms(self, params, state, ctx, batch, rng, epoch):
         user_all, item_all = self.aggregate(params, rng, training=True)
-        user_e, pos_e, neg_e = model_base_batch_final(user_all, item_all, batch)
+        user_e, pos_e, neg_e = model_base_batch_final(
+            user_all, item_all, batch, self.compute_dtype)
         bpr = losses.bpr_loss(user_e, pos_e, neg_e)
         reg = self.reg_lambda * losses.reg_loss_counted(
             params["item_emb"], batch["pos"], batch["neg"])

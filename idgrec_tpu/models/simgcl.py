@@ -129,7 +129,8 @@ class SimGCL(RecModel):
         u1, i1 = split_user_item(view1, self.num_users)
         u2, i2 = split_user_item(view2, self.num_users)
 
-        user_e, pos_e, neg_e = model_base_batch_final(user_all, item_all, batch)
+        user_e, pos_e, neg_e = model_base_batch_final(
+            user_all, item_all, batch, self.compute_dtype)
 
         bpr = losses.bpr_loss(user_e, pos_e, neg_e)
         reg = self.reg_lambda * losses.reg_loss_indexed(

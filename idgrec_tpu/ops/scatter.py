@@ -82,20 +82,25 @@ def scatter_add_rows(idx: jnp.ndarray, vals: jnp.ndarray,
     return out[:n_rows]
 
 
-def supports_fast_scatter(n_rows: int, d: int, dtype=jnp.float32) -> bool:
+def supports_fast_scatter(n_rows: int, d: int,
+                          compute_dtype: str = "int8") -> bool:
     """Table must fit the VMEM residency budget; the sharded path keeps
-    XLA's scatter (the loss runs per-shard under a mesh); and only
-    f32-propagated tables (the quantized modes) take the kernel — in
-    the bf16 exact mode the conversion measured ~2.5 ms/step SLOWER
-    across the whole zoo (zoo logs 2026-08-20: LightGCN bf16 20.8 →
-    23.1 ms/step) while int4 improved (6.8 → 6.6), so bf16 keeps XLA's
-    scatter. IDGREC_FAST_SCATTER=0 disables (measurement escape
-    hatch)."""
+    XLA's scatter (the loss runs per-shard under a mesh); and only the
+    QUANTIZED compute modes take the kernel. Measured in one
+    uninterrupted backend × dtype matrix
+    (docs/evidence/bench_matrix.json, 2026-08-20): with the kernel
+    active everywhere, int4 improved to 312.7k pairs/s and int8 to
+    151.8k, but BOTH bf16 legs dropped ~11% (99.6k → 88.8k) — the
+    kernel interacts badly with the bf16 mode's all-XLA step program —
+    so non-quantized modes keep XLA's scatter. (The propagated tables
+    are f32 in every mode, so the gate keys on the model's
+    compute_dtype, not the table dtype.) IDGREC_FAST_SCATTER=0
+    disables (measurement escape hatch)."""
     import os
 
     if os.environ.get("IDGREC_FAST_SCATTER", "1") == "0":
         return False
-    if jnp.dtype(dtype) != jnp.float32:
+    if not str(compute_dtype).startswith("int"):
         return False
     if _round8(n_rows) * d * 4 > MAX_TABLE_VMEM_BYTES:
         return False
