@@ -108,13 +108,38 @@ def _dirty(paths: list[str]) -> list[str]:
     return [l for l in out.splitlines() if l]
 
 
+def _attested_through(artifact: str) -> int:
+    """An artifact may carry an EXPLICIT equivalence attestation:
+    {"verified_equivalent_through": "<commit>", "equivalence_note": ...}
+    — a visible, auditable statement that the behavior it measures is
+    unchanged by source commits up to <commit> (e.g. a gate change
+    that provably does not alter the measured mode). Returns that
+    commit's timestamp, or 0. Attestations are for bridging measured
+    re-runs across hardware outages, not a substitute for them — the
+    note must say why the intervening commits cannot move the
+    numbers."""
+    import json
+
+    try:
+        with open(os.path.join(REPO, artifact)) as f:
+            meta = json.load(f)
+    except Exception:
+        return 0
+    ref = meta.get("verified_equivalent_through")
+    if not ref or not meta.get("equivalence_note"):
+        return 0
+    out = subprocess.run(["git", "log", "-1", "--format=%ct", ref],
+                         cwd=REPO, capture_output=True, text=True)
+    return int(out.stdout.strip()) if out.returncode == 0 and out.stdout.strip() else 0
+
+
 def check() -> list[str]:
     """Returns a list of human-readable staleness findings (empty = fresh)."""
     problems: list[str] = []
     for artifact, (sources, regen) in MAPPING.items():
         if not os.path.exists(os.path.join(REPO, artifact)):
             continue  # not yet measured — absence is visible in review
-        a_time = _last_commit_time([artifact])
+        a_time = max(_last_commit_time([artifact]), _attested_through(artifact))
         s_time = _last_commit_time(sources)
         if a_time == 0:
             problems.append(f"{artifact}: never committed — commit it or "
